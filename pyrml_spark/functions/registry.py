@@ -1,0 +1,432 @@
+"""FnO/GREL/IdLab function registry — the engine's UDF surface.
+
+The reference registers ~40 Python functions keyed by function IRI with an
+IRI→kwarg parameter binding (``@rml_function`` decorator,
+``pyrml/functions.py:28-43``; invocation builds an arg matrix and calls the
+Python function **per row**, ``pyrml_core.py:1261-1271``).
+
+Here every function compiles to a native Spark Column expression (JVM-side,
+whole-stage codegen). Only genuinely Python-bound functions (short_uuid's
+base57 alphabet, slugify's transliteration) fall back to vectorized
+``pandas_udf`` — never row-at-a-time Python.
+
+Reference bugs deliberately NOT replicated (SURVEY.md §7): ``string_substring``
+reversed slice (functions.py:233), ``in_range`` int-only ``range()``
+(functions.py:319), ``boolean_not`` string comparison (functions.py:349-352),
+``is_null`` returning None for truthy non-Literals (functions.py:151-160).
+
+Custom functions can be registered at runtime like the reference's
+``PyRML.register_function`` (pyrml_api.py:728-729).
+"""
+
+from __future__ import annotations
+
+import re
+import uuid as _uuid
+from typing import Callable, Dict, List, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+GREL = "http://users.ugent.be/~bjdmeest/function/grel.ttl#"
+IDLAB = "http://example.com/idlab/function/"
+STLAB = "https://w3id.org/stlab/rml-functions.ttl#"
+WHO = "https://who.int/WHO-Decision/ontology/function/"
+
+
+class FunctionNotRegisteredError(KeyError):
+    pass
+
+
+class RegisteredFunction:
+    """fun IRI + (param IRI → kwarg) binding + Column-expression builder."""
+
+    def __init__(self, fun_id: str, builder: Callable[..., Column],
+                 params: Dict[str, str]):
+        self.fun_id = fun_id
+        self.builder = builder
+        self.params = params  # kwarg name -> param IRI
+
+    def build(self, args: Sequence[tuple]) -> Column:
+        """args: sequence of (param_iri, Column). Repeated param IRIs collect
+        into a list kwarg (GREL list params like p_array_a)."""
+        iri_to_kw = {v: k for k, v in self.params.items()}
+        kwargs: Dict[str, object] = {}
+        for iri, col in args:
+            kw = iri_to_kw.get(iri)
+            if kw is None:
+                # tolerate unknown param IRIs positionally (reference binds
+                # strictly; mappings in the wild sometimes use variant IRIs)
+                unused = [k for k in self.params if k not in kwargs]
+                if not unused:
+                    continue
+                kw = unused[0]
+            if kw in kwargs:
+                prev = kwargs[kw]
+                kwargs[kw] = (prev if isinstance(prev, list) else [prev]) + [col]
+            else:
+                kwargs[kw] = col
+        return self.builder(**kwargs)
+
+
+class FunctionRegistry:
+    def __init__(self):
+        self._fns: Dict[str, RegisteredFunction] = {}
+
+    def register(self, fun_id: str, builder: Callable[..., Column],
+                 **params: str) -> None:
+        self._fns[fun_id] = RegisteredFunction(fun_id, builder, params)
+
+    def unregister(self, fun_id: str) -> None:
+        self._fns.pop(fun_id, None)
+
+    def has(self, fun_id: str) -> bool:
+        return fun_id in self._fns
+
+    def get(self, fun_id: str) -> RegisteredFunction:
+        if fun_id not in self._fns:
+            raise FunctionNotRegisteredError(fun_id)
+        return self._fns[fun_id]
+
+    def compile_call(self, ctx, call) -> Column:
+        """FunctionCall IR → Column. Param term maps compile to raw values."""
+        from ..terms import raw_value
+
+        fn = self.get(call.function_iri)
+        args = [(iri, raw_value(ctx, tm)) for iri, tm in call.params]
+        return fn.build(args)
+
+
+# ---------------------------------------------------------------------------
+# builders
+# ---------------------------------------------------------------------------
+
+def _num(c: Column) -> Column:
+    return c.cast("double")
+
+
+def _bool(c: Column) -> Column:
+    """GREL booleans travel as 'true'/'false' strings through term maps."""
+    return F.when(F.lower(c.cast("string")) == "true", F.lit(True)).otherwise(
+        F.when(F.lower(c.cast("string")) == "false", F.lit(False))
+    )
+
+
+def _as_list(v) -> list:
+    return v if isinstance(v, list) else [v]
+
+
+# strptime → Java SimpleDateFormat pattern translation for normalizeDate*
+_STRPTIME_MAP = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"),
+    ("%f", "SSSSSS"), ("%B", "MMMM"), ("%b", "MMM"), ("%A", "EEEE"),
+    ("%a", "EEE"), ("%p", "a"), ("%z", "Z"), ("%j", "DDD"), ("%%", "%"),
+]
+
+
+def strptime_to_java(pattern: str) -> str:
+    out = pattern
+    for py, java in _STRPTIME_MAP:
+        out = out.replace(py, java)
+    return out
+
+
+def _const_str(col: Column) -> Optional[str]:
+    """Extract a literal string from a Column built via F.lit (constant term
+    maps) — needed where Spark requires a non-Column argument."""
+    try:
+        expr = col._jc.toString()
+    except Exception:
+        return None
+    # lit('x') renders as 'x'; lit("a'b") is rare in format patterns
+    m = re.match(r"^'(.*)'$", expr, re.S)
+    return m.group(1) if m else None
+
+
+def _normalize_date(date: Column, pattern: Column, lang: Column = None,
+                    to: str = "date") -> Column:
+    fmt = _const_str(pattern)
+    if fmt is None:
+        raise ValueError("normalizeDate*: pattern must be a constant")
+    java = strptime_to_java(fmt)
+    ts = F.try_to_timestamp(date.cast("string"), F.lit(java))
+    if to == "date":
+        return F.date_format(ts, "yyyy-MM-dd")
+    frac = F.date_format(ts, "SSSSSS")
+    return F.concat(
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"),
+        F.when(frac == "000000", F.lit("")).otherwise(
+            F.regexp_replace(F.concat(F.lit("."), frac), r"0+$", "")
+        ),
+    )
+
+
+@F.pandas_udf(T.StringType())
+def _short_uuid_udf(s: pd.Series, n: pd.Series) -> pd.Series:
+    # shortuuid.uuid(name): uuid5(NAMESPACE_DNS, name) → base57 (public algo)
+    alphabet = "23456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+    pad_len = 22
+
+    def enc(name, ln):
+        if name is None:
+            return None
+        number = _uuid.uuid5(_uuid.NAMESPACE_DNS, str(name)).int
+        digits = []
+        while number:
+            number, digit = divmod(number, 57)
+            digits.append(alphabet[digit])
+        out = "".join(digits[::-1]).rjust(pad_len, alphabet[0])
+        return out[: int(ln) if ln == ln and ln is not None else 8]
+
+    return pd.Series([enc(v, ln) for v, ln in zip(s, n)])
+
+
+def default_registry() -> FunctionRegistry:
+    r = FunctionRegistry()
+    VP = GREL + "valueParameter"
+    VP2 = GREL + "valueParameter2"
+    SUB = GREL + "string_sub"
+    SEP = GREL + "p_string_sep"
+    ARR = GREL + "p_array_a"
+    NUM = GREL + "p_dec_n"
+
+    r.register(GREL + "toLowerCase", lambda value: F.lower(value), value=VP)
+    r.register(GREL + "toUpperCase", lambda value: F.upper(value), value=VP)
+    r.register(GREL + "string_toNumber",
+               lambda value: _num(value), value=GREL + "p_any_e")
+    # reference preserves inner caps: 'mcDonald' → 'McDonald' (functions.py:62-67)
+    r.register(
+        GREL + "string_toTitlecase",
+        lambda value: F.array_join(
+            F.transform(
+                F.split(value, " "),
+                lambda w: F.concat(F.upper(F.substring(w, 1, 1)),
+                                   F.substring(w, 2, 1 << 30)),
+            ),
+            " ",
+        ),
+        value=VP,
+    )
+    r.register(GREL + "string_trim", lambda value: F.trim(value), value=VP)
+    r.register(
+        GREL + "array_sum",
+        lambda values: F.aggregate(values, F.lit(0.0),
+                                   lambda a, x: a + x.cast("double")),
+        values=ARR,
+    )
+    r.register(IDLAB + "equal",
+               lambda x, y: x.cast("string") == y.cast("string"), x=VP, y=VP2)
+    r.register(IDLAB + "notEqual",
+               lambda x, y: x.cast("string") != y.cast("string"), x=VP, y=VP2)
+    r.register(
+        IDLAB + "normalizeDate",
+        lambda date, pattern: _normalize_date(date, pattern, to="date"),
+        date=IDLAB + "strDate", pattern=IDLAB + "pattern",
+    )
+    r.register(
+        IDLAB + "normalizeDateTime",
+        lambda date, pattern: _normalize_date(date, pattern, to="dateTime"),
+        date=IDLAB + "strDate", pattern=IDLAB + "pattern",
+    )
+    # WithLang variants: non-English month/day names would need locale data;
+    # English-locale behavior is supported, other locales raise at compile
+    # (reference mutates process-global locale — thread-unsafe; functions.py:125-131)
+    def _norm_lang(to):
+        def f(date, pattern, lang):
+            lc = _const_str(lang)
+            if lc and not lc.lower().startswith(("en", "c")):
+                raise NotImplementedError(
+                    f"normalizeDate*WithLang locale {lc!r} unsupported"
+                )
+            return _normalize_date(date, pattern, to=to)
+        return f
+    r.register(IDLAB + "normalizeDateWithLang", _norm_lang("date"),
+               date=IDLAB + "strDate", pattern=IDLAB + "pattern",
+               lang=IDLAB + "lang")
+    r.register(IDLAB + "normalizeDateTimeWithLang", _norm_lang("dateTime"),
+               date=IDLAB + "strDate", pattern=IDLAB + "pattern",
+               lang=IDLAB + "lang")
+    r.register(
+        IDLAB + "isNull",
+        lambda value=None: (value.isNull() | (value.cast("string") == "nan"))
+        if value is not None else F.lit(False),
+        value=IDLAB + "str",
+    )
+    r.register(
+        GREL + "boolean_and",
+        lambda values: F.forall(
+            F.array(*[_bool(v) for v in _as_list(values)]), lambda x: x
+        ) if not isinstance(values, list) or len(values) > 0 else F.lit(True),
+        values=GREL + "param_rep_b",
+    )
+    r.register(
+        GREL + "boolean_or",
+        lambda values: F.exists(
+            F.array(*[_bool(v) for v in _as_list(values)]), lambda x: x
+        ),
+        values=GREL + "param_rep_b",
+    )
+    r.register(GREL + "boolean_not", lambda bool_value: ~_bool(bool_value),
+               bool_value=GREL + "bool_b")
+    r.register(GREL + "math_min", lambda x, y: F.least(_num(x), _num(y)),
+               x=NUM, y=GREL + "param_n2")
+    r.register(GREL + "math_max", lambda x, y: F.greatest(_num(x), _num(y)),
+               x=NUM, y=GREL + "param_n2")
+    r.register(GREL + "array_length", lambda a: F.size(a), a=ARR)
+    r.register(GREL + "string_length", lambda s: F.length(s), s=VP)
+    r.register(
+        GREL + "controls_if",
+        lambda cond, e_true, e_false=None: F.when(
+            F.lower(cond.cast("string")) == "true", e_true
+        ).otherwise(e_false if e_false is not None else F.lit(None)),
+        cond=GREL + "bool_b", e_true=GREL + "any_true", e_false=GREL + "any_false",
+    )
+    r.register(GREL + "listContainsElement",
+               lambda l, value: F.array_contains(l, value),
+               l=IDLAB + "list", value=IDLAB + "str")
+    r.register(GREL + "string_contains",
+               lambda string, substring: string.contains(substring),
+               string=VP, substring=SUB)
+    # correct GREL semantics (0-based, [from:to)) — reference slice is
+    # reversed (functions.py:233), a documented bug we do not replicate
+    r.register(
+        GREL + "string_substring",
+        lambda valueParameter, i_from=None, i_to=None: valueParameter.substr(
+            (i_from.cast("int") + 1) if i_from is not None else F.lit(1),
+            ((i_to.cast("int") - (i_from.cast("int") if i_from is not None
+                                  else F.lit(0)))
+             if i_to is not None else F.lit(1 << 30)),
+        ),
+        valueParameter=VP, i_from=GREL + "p_int_i_from",
+        i_to=GREL + "p_int_i_opt_to",
+    )
+    r.register(
+        IDLAB + "concat",
+        lambda string1, string2, delimiter=None: F.concat(
+            string1, *([delimiter] if delimiter is not None else []), string2),
+        string1=IDLAB + "str", string2=IDLAB + "otherStr",
+        delimiter=IDLAB + "delimiter",
+    )
+    r.register(GREL + "string_replace",
+               lambda string, match, replace: F.replace(string, match, replace),
+               string=VP, match=GREL + "p_string_find",
+               replace=GREL + "p_string_replace")
+    r.register(GREL + "string_replaceChars",
+               lambda string, match, replace: F.replace(string, match, replace),
+               string=VP, match=GREL + "p_string_find",
+               replace=GREL + "p_string_replace")
+    r.register(GREL + "array_reverse", lambda arr: F.reverse(arr), arr=ARR)
+    r.register(
+        GREL + "string_chomp",
+        lambda value, sep=None: F.replace(
+            value, F.lit("\n"), sep if sep is not None else F.lit("")),
+        value=VP, sep=SEP,
+    )
+    r.register(
+        GREL + "other_coalesce",
+        lambda exprs: F.coalesce(*_as_list(exprs)),
+        exprs=GREL + "p_any_rep_e",
+    )
+    r.register(GREL + "string_endsWith",
+               lambda string, end: string.endswith(end), string=VP, end=SUB)
+    r.register(GREL + "string_startsWith",
+               lambda string, start: string.startswith(start),
+               string=VP, start=SUB)
+    r.register(GREL + "string_indexOf",
+               lambda string, substring: F.instr(string, substring) - 1,
+               string=VP, substring=SUB)
+    r.register(
+        GREL + "string_lastIndexOf",
+        lambda string, substring: F.when(
+            F.instr(F.reverse(string), F.reverse(substring)) == 0, F.lit(-1)
+        ).otherwise(
+            F.length(string)
+            - F.instr(F.reverse(string), F.reverse(substring))
+            - F.length(substring) + 1
+        ),
+        string=VP, substring=SUB,
+    )
+    r.register(
+        GREL + "array_join",
+        lambda arr, separator=None: F.array_join(
+            F.filter(arr, lambda x: x.isNotNull()
+                     & (x.cast("string") != "nan")
+                     & (x.cast("string") != "None")),
+            _const_str(separator) if separator is not None else "",
+        ),
+        arr=ARR, separator=SEP,
+    )
+    # numeric in-range [from, to) — reference's range() is int-only
+    # (functions.py:319), a documented bug we do not replicate
+    r.register(
+        IDLAB + "inRange",
+        lambda test, p_from, p_to: (_num(test) >= _num(p_from))
+        & (_num(test) < _num(p_to)),
+        test=IDLAB + "p_test", p_from=IDLAB + "p_from", p_to=IDLAB + "p_to",
+    )
+    r.register(GREL + "math_exp", lambda num: F.exp(_num(num)), num=NUM)
+    r.register(GREL + "math_floor", lambda num: F.floor(_num(num)), num=NUM)
+    r.register(GREL + "math_round", lambda num: F.round(_num(num)), num=NUM)
+    r.register(GREL + "math_ln", lambda num: F.log(_num(num)), num=NUM)
+    r.register(GREL + "math_log", lambda num: F.log10(_num(num)), num=NUM)
+    r.register(GREL + "math_ceil", lambda num: F.ceil(_num(num)), num=NUM)
+    # non-deterministic by design — excluded from parity checks
+    r.register(IDLAB + "random", lambda: F.expr("uuid()"))
+    r.register(
+        STLAB + "short_uuid",
+        lambda string, uuid_len=None: _short_uuid_udf(
+            string.cast("string"),
+            (uuid_len if uuid_len is not None else F.lit(8)).cast("double"),
+        ),
+        string=STLAB + "in_string", uuid_len=STLAB + "uuid_len",
+    )
+    r.register(GREL + "string_md5", lambda value: F.md5(value.cast("string")),
+               value=VP)
+    r.register(GREL + "string_sha1", lambda value: F.sha1(value.cast("string")),
+               value=VP)
+    r.register(
+        GREL + "array_slice",
+        lambda arr, from_i=None, to_i=None: F.slice(
+            arr,
+            (from_i.cast("int") + 1) if from_i is not None else F.lit(1),
+            ((to_i.cast("int") - (from_i.cast("int") if from_i is not None
+                                  else F.lit(0)))
+             if to_i is not None else F.size(arr)),
+        ),
+        arr=ARR, from_i=GREL + "param_int_i_from", to_i=GREL + "param_int_i_opt_to",
+    )
+    # ASCII slugify (python-slugify additionally transliterates unicode; the
+    # JVM chain covers the ASCII subset — divergence documented)
+    r.register(
+        IDLAB + "slugify",
+        lambda string: F.regexp_replace(
+            F.regexp_replace(F.lower(string.cast("string")),
+                             r"[^a-z0-9]+", "-"),
+            r"^-+|-+$", ""),
+        string=IDLAB + "str",
+    )
+    # the RML idiom for conditional triple emission: NULL ⇒ row dropped (D9)
+    r.register(
+        IDLAB + "trueCondition",
+        lambda b_expr, string: F.when(
+            F.lower(b_expr.cast("string")) == "true", string),
+        b_expr=IDLAB + "strBoolean", string=IDLAB + "str",
+    )
+    r.register(
+        GREL + "string_split",
+        lambda value_parameter, p_string_sep: F.split(
+            value_parameter,
+            re.escape(_const_str(p_string_sep))
+            if _const_str(p_string_sep) is not None else p_string_sep,
+        ),
+        value_parameter=VP, p_string_sep=SEP,
+    )
+    r.register(
+        WHO + "local_name",
+        lambda value: F.regexp_extract(value.cast("string"), r"([^/#]+)$", 1),
+        value=WHO + "value",
+    )
+    return r

@@ -1,0 +1,270 @@
+"""Term-map → Spark Column compiler.
+
+The reference evaluates term maps row-at-a-time in Python over numpy arrays
+(``pyrml_api.py:222-228``, ``Expression._eval_`` per row at
+``pyrml_api.py:402-454``).  Here every term map compiles to a native Spark
+Column expression — template concat, URL-encoding, datatype canonicalization
+and N-Triples rendering all stay inside whole-stage codegen; no Python in the
+row path.
+
+Semantics mirrored from the reference (file:line cites into /root/reference):
+  * template placeholder substitution with ``\\{``/``\\}`` escapes and
+    NaN→None whole-term nulling (pyrml_api.py:402-454, :432-434)
+  * IRI-mode %-encoding of each placeholder value, quote(safe='')
+    (pyrml_api.py:443)
+  * case-insensitive column resolution fallback (pyrml_core.py:197-203,
+    pyrml_api.py:664-674); missing column ⇒ NULL term (RMLTC0002c)
+  * default-off IRIFY: only ``<``/``>`` escaped in IRIs (pyrml_api.py:500-538,
+    IRIFY default False at pyrml_api.py:703)
+  * datatype canonicalization = XSD lexical round-trip (pyrml_core.py:266-268)
+  * language tags validated (pyrml_api.py:336-339); literal/lang/datatype
+    selection order (pyrml_core.py:239-309)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from . import rdfterms as R
+from .model import FunctionCall, TermMap
+
+XSD = R.XSD
+
+# Template tokenizer: '\{' / '\}' are literal braces, '{name}' a placeholder.
+_TMPL_TOKEN = re.compile(r"\\\{|\\\}|\{([^{}]+)\}")
+
+IRI_VALID_RE = r'^[A-Za-z][A-Za-z0-9+.\-]*:[^\s"<>{}|\\^`]*$'
+LANG_VALID_RE = r"^[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*$"
+
+
+@dataclass
+class CompileCtx:
+    """Per-logical-source compile context."""
+
+    columns: Sequence[str]                       # resolved source schema
+    base_iri: Optional[str] = None
+    functions: Optional[object] = None           # FunctionRegistry
+    column_prefix: str = ""                      # prefix for join-renamed cols
+
+
+# ---------------------------------------------------------------------------
+# column resolution
+# ---------------------------------------------------------------------------
+
+def resolve_column(columns: Sequence[str], name: str) -> Optional[str]:
+    """Exact → lowercase → uppercase → case-insensitive (pyrml_core.py:197-203)."""
+    if name in columns:
+        return name
+    if name.lower() in columns:
+        return name.lower()
+    if name.upper() in columns:
+        return name.upper()
+    lowered = {c.lower(): c for c in columns}
+    return lowered.get(name.lower())
+
+
+def _col(name: str) -> Column:
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def source_col(ctx: CompileCtx, name: str) -> Column:
+    """Resolve a logical reference to a source column; missing ⇒ NULL
+    (reproduces RMLTC0002c's expected-empty semantics)."""
+    resolved = resolve_column(ctx.columns, ctx.column_prefix + name)
+    if resolved is None and ctx.column_prefix:
+        resolved = resolve_column(ctx.columns, name)
+    if resolved is None:
+        return F.lit(None).cast("string")
+    return _col(resolved).cast("string")
+
+
+# ---------------------------------------------------------------------------
+# URL-encoding (match Python quote(val, safe='') — pyrml_api.py:443)
+# ---------------------------------------------------------------------------
+
+def url_encode(col: Column) -> Column:
+    """Percent-encode like ``urllib.parse.quote(v, safe='')``.
+
+    Spark's ``url_encode`` is form-encoding (Java URLEncoder): space→'+',
+    keeps ``*``, encodes ``~``. Fix the three divergences JVM-side.
+    """
+    enc = F.url_encode(col)
+    enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+    enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+    enc = F.replace(enc, F.lit("%7E"), F.lit("~"))
+    return enc
+
+
+def escape_angle(col: Column) -> Column:
+    """Always-on part of TermUtils.irify (pyrml_api.py:535-537)."""
+    return F.replace(F.replace(col, F.lit("<"), F.lit("%3C")),
+                     F.lit(">"), F.lit("%3E"))
+
+
+# ---------------------------------------------------------------------------
+# N-Triples literal escaping as Column expressions
+# ---------------------------------------------------------------------------
+
+def nt_escape(col: Column) -> Column:
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    out = F.replace(out, F.lit("\t"), F.lit("\\t"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# datatype canonicalization (XSD lexical round-trip, pyrml_core.py:266-268)
+# ---------------------------------------------------------------------------
+
+_INT_TYPES = {
+    "integer", "int", "long", "short", "byte", "nonNegativeInteger",
+    "positiveInteger", "nonPositiveInteger", "negativeInteger",
+    "unsignedLong", "unsignedInt", "unsignedShort", "unsignedByte",
+}
+
+
+def canonicalize_datatype(col: Column, datatype: str) -> Column:
+    """Canonical XSD lexical form; uncastable values keep their lexical form."""
+    local = datatype.rsplit("#", 1)[-1]
+    if local in _INT_TYPES:
+        cast = col.try_cast("long")
+        return F.when(cast.isNotNull(), cast.cast("string")).otherwise(col)
+    if local == "decimal":
+        cast = col.try_cast("decimal(38,12)")
+        canon = F.regexp_replace(cast.cast("string"), r"(\.\d*?)0+$", r"$1")
+        canon = F.regexp_replace(canon, r"\.$", "")
+        return F.when(cast.isNotNull(), canon).otherwise(col)
+    if local in ("double", "float"):
+        cast = col.try_cast("double")
+        return F.when(cast.isNotNull(), cast.cast("string")).otherwise(col)
+    if local == "boolean":
+        lowered = F.lower(col)
+        return (
+            F.when(lowered.isin("true", "1"), F.lit("true"))
+            .when(lowered.isin("false", "0"), F.lit("false"))
+            .otherwise(col)
+        )
+    if local == "date":
+        cast = col.try_cast("date")
+        return F.when(cast.isNotNull(), cast.cast("string")).otherwise(col)
+    if local == "dateTime":
+        cast = F.try_to_timestamp(col)
+        frac = F.date_format(cast, "SSSSSS")
+        iso = F.concat(
+            F.date_format(cast, "yyyy-MM-dd'T'HH:mm:ss"),
+            F.when(frac == "000000", F.lit("")).otherwise(
+                F.regexp_replace(F.concat(F.lit("."), frac), r"0+$", "")
+            ),
+        )
+        return F.when(cast.isNotNull(), iso).otherwise(col)
+    return col
+
+
+# ---------------------------------------------------------------------------
+# raw value + rendering
+# ---------------------------------------------------------------------------
+
+def compile_template_raw(ctx: CompileCtx, template: str, iri_mode: bool) -> Column:
+    """Template → concat expression. IRI mode %-encodes each placeholder.
+    A NULL placeholder nulls the whole term (concat null-propagation ==
+    the reference's NaN rule at pyrml_api.py:432-434)."""
+    parts: List[Column] = []
+    pos = 0
+    for m in _TMPL_TOKEN.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos:m.start()]))
+        tok = m.group(0)
+        if tok == "\\{":
+            parts.append(F.lit("{"))
+        elif tok == "\\}":
+            parts.append(F.lit("}"))
+        else:
+            name = m.group(1).strip()
+            val = source_col(ctx, name)
+            parts.append(url_encode(val) if iri_mode else val)
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    if not parts:
+        return F.lit("")
+    return F.concat(*parts)
+
+
+def raw_value(ctx: CompileCtx, tm: TermMap) -> Column:
+    """The term's raw string value (pre-N-Triples rendering).
+
+    For function maps this may be an ArrayType column (multi-valued objects,
+    e.g. grel:string_split — fan-out handled by the compiler via explode)."""
+    if tm.kind == "template":
+        return compile_template_raw(ctx, tm.template, iri_mode=(tm.term_type == "iri"))
+    if tm.kind == "reference":
+        return source_col(ctx, tm.reference)
+    if tm.kind == "constant":
+        c = tm.constant
+        if c[0] == "literal":
+            return F.lit(c[1])
+        return F.lit(c[1])  # IRI/bnode constants: the bare value
+    if tm.kind == "function":
+        if ctx.functions is None:
+            raise ValueError("function map used but no FunctionRegistry in ctx")
+        return ctx.functions.compile_call(ctx, tm.function)
+    raise ValueError(f"unknown term map kind {tm.kind!r}")
+
+
+def render_value(ctx: CompileCtx, tm: TermMap, raw: Column) -> Column:
+    """Raw value column → N-Triples lexical form column (NULL-preserving)."""
+    if tm.kind == "constant":
+        # constants render driver-side, exactly once
+        return F.lit(R.to_nt(tm.constant)) if raw is not None else F.lit(None)
+
+    if tm.term_type == "iri":
+        val = escape_angle(raw)
+        if ctx.base_iri:
+            # relative IRI → base + iri (pyrml_mapper.py:164-194)
+            val = F.when(
+                val.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), val
+            ).otherwise(F.concat(F.lit(ctx.base_iri), val))
+        # validity filter: invalid IRIs become NULL (dropped by D9)
+        val = F.when(val.rlike(IRI_VALID_RE), val)
+        return F.when(raw.isNull(), F.lit(None)).otherwise(
+            F.concat(F.lit("<"), val, F.lit(">"))
+        )
+
+    if tm.term_type == "bnode":
+        label = F.regexp_replace(raw, r"[^A-Za-z0-9]", "_")
+        return F.when(raw.isNull(), F.lit(None)).otherwise(
+            F.concat(F.lit("_:"), label)
+        )
+
+    # literal
+    lex = raw
+    if tm.datatype:
+        lex = canonicalize_datatype(lex, tm.datatype)
+    quoted = F.concat(F.lit('"'), nt_escape(lex), F.lit('"'))
+    if tm.language:
+        out = F.concat(quoted, F.lit("@" + tm.language))
+    elif tm.language_map is not None:
+        lang = raw_value(ctx, tm.language_map)
+        lang_ok = lang.isNotNull() & lang.rlike(LANG_VALID_RE)
+        out = F.when(lang_ok, F.concat(quoted, F.lit("@"), lang))
+    elif tm.datatype and tm.datatype != XSD + "string":
+        out = F.concat(quoted, F.lit("^^<" + tm.datatype + ">"))
+    else:
+        out = quoted
+    return F.when(raw.isNull(), F.lit(None)).otherwise(out)
+
+
+def compile_term(ctx: CompileCtx, tm: TermMap) -> Column:
+    """TermMap → rendered N-Triples string Column (or array column for
+    multi-valued function results — caller explodes)."""
+    raw = raw_value(ctx, tm)
+    if tm.kind == "constant":
+        return F.lit(R.to_nt(tm.constant))
+    return render_value(ctx, tm, raw)
