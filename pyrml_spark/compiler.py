@@ -229,16 +229,15 @@ class RMLCompiler:
                 else:
                     raw_col = None
                     is_array = False
+                def _elem_pair_fn(_otm, _p, _g):
+                    return lambda x: pair(_p, render_value(ctx, _otm, x), _g)
+
                 for p_col in p_cols:
                     for g in graphs:
                         if is_array:
                             # multi-valued fan-out: one (p,o,g) per element
                             pair_arrays.append(
-                                F.transform(
-                                    raw_col,
-                                    lambda x, _otm=otm, _p=p_col, _g=g:
-                                        pair(_p, render_value(ctx, _otm, x), _g),
-                                )
+                                F.transform(raw_col, _elem_pair_fn(otm, p_col, g))
                             )
                         elif raw_col is not None:
                             o_col = render_value(ctx, otm, raw_col)

@@ -1,0 +1,266 @@
+"""Deduplication operators over the `documents` table — the training-data
+pipeline ops a 100 TB corpus needs (task brief: exact, MinHash+LSH, SimHash,
+n-gram Jaccard). All scale paths are shuffle-on-key designs:
+
+* exact: hash-groupBy on md5(text) — one shuffle, map-side combine
+* minhash-lsh: shingle→minhash(k seeded xxhash64)→band→bucket-join —
+  candidate pairs only meet inside a band bucket (no all-pairs blowup)
+* simhash: 64-bit sign-sum of token hashes; near-dups share banded chunks
+* n-gram jaccard: exact verification over candidate pairs from a shared-
+  shingle inverted index (explode + self-join on shingle key)
+
+No Python in the row path: shingling/hashing use native F.* expressions
+(xxhash64, transform, explode) end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_MINHASH = 16           # minhash permutations
+LSH_BANDS = 4            # bands of 4 rows each
+SHINGLE_N = 3            # word 3-grams
+
+
+def _tokens(col):
+    return F.split(F.lower(col), r"\s+")
+
+
+def _word_shingles(col, n: int = SHINGLE_N):
+    """Distinct word n-grams as strings, JVM-side."""
+    toks = _tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: per distinct text, the surviving doc_id (min) and the
+    group size. Map-side-combinable aggregation — one shuffle on text hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs.
+
+    Inverted-index join: explode distinct shingles, self-join on the shingle
+    (co-occurrence count = |A∩B|), then J = |∩|/(|A|+|B|-|∩|). The join key
+    is the shingle — at 100 TB this is the standard candidate-generation
+    shuffle; hot shingles (stopword n-grams) would be dropped by a document-
+    frequency cap in a production config (kept exact here for the oracle).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "doc_id", F.explode(_word_shingles(F.col("text"))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles")
+                   - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.8
+"""
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + array of N_MINHASH min-hashes (seeded xxhash64 over distinct
+    shingles). Entirely native expressions — one narrow pass, no shuffle."""
+    sh = _word_shingles(F.col("text"))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, _i=i: F.xxhash64(s, F.lit(_i)))
+            )
+            for i in range(N_MINHASH)
+        ]
+    )
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH candidate pairs with estimated Jaccard.
+
+    Banding: signature split into LSH_BANDS bands; docs sharing any band
+    bucket become candidates (join key = (band_idx, band_hash) — bounded
+    bucket sizes, no all-pairs). Estimated J = fraction of matching minhashes.
+    Rows-only check (no SQL oracle: seeded xxhash64 isn't DuckDB-expressible).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures(docs)
+    rows_per_band = N_MINHASH // LSH_BANDS
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r]
+                              for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                           lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / N_MINHASH
+    )
+    return (
+        cand.select("doc_a", "doc_b", F.round(est, 6).alias("jaccard_est"))
+        .filter(F.col("jaccard_est") >= threshold)
+    )
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, fully native: per bit position,
+    sign-sum of token-hash bits."""
+    toks = F.array_distinct(_tokens(F.col("text")))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bits = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h, _i=i: acc
+                + F.when(h.bitwiseAND(F.lit(1 << _i)) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(63)  # avoid sign bit
+    ]
+    sim = bits[0]
+    for b in bits[1:]:
+        sim = sim.bitwiseOR(b)
+    return docs.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str,
+                  max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup pairs: candidates via 16-bit chunk equality (any of 4
+    chunks shared ⇒ candidate — pigeonhole for hamming ≤ 3 per 64/16 split;
+    wider hamming budgets accepted for recall), verified by exact popcount.
+    Rows-only check (bit-level xxhash64 not DuckDB-expressible)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = simhash64(docs)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = sh.select("doc_id", "simhash",
+                       F.explode(chunks).alias("cc")).select(
+        "doc_id", "simhash", "cc.chunk", "cc.val"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,347 @@
+"""RML mappings over the driver-generated testdata tables, each paired with a
+DuckDB-oracle SQL string that emits byte-identical (s,p,o,g) rows.
+
+These are the engine's SURVEY.md §2 operators exercised one by one over
+/root/testdata (FIXTURES.md §4): template subjects (T1), references (T2),
+constants (T3), rr:class (D4), datatyped literals (T8), language maps (T7),
+graph maps/quads (T10), crml:condition (D1), referencing-object-map joins
+(D5), function maps + multi-valued fan-out (§2.4 + D2).
+
+Every oracle aliases columns exactly (s, p, o, g) — the driver hash-compares
+value sets after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .compiler import RMLCompiler
+from .parse_mapping import parse_mapping
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_PRELUDE = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix crml: <http://w3id.org/stlab/crml#> .
+@prefix fnml: <http://semweb.mmlab.be/ns/fnml#> .
+@prefix fno: <https://w3id.org/function/ontology#> .
+@prefix grel: <http://users.ugent.be/~bjdmeest/function/grel.ttl#> .
+@prefix ex: <http://ex.com/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+"""
+
+
+def _run(spark: SparkSession, mapping_text: str, sf_dir: str) -> DataFrame:
+    plan = parse_mapping(_PRELUDE + mapping_text,
+                         template_vars={"sf": sf_dir})
+    return RMLCompiler(spark, plan).compile()
+
+
+# ---------------------------------------------------------------------------
+# q: rml_customer_terms — T1/T2/T3/T8/D4 over customer
+# ---------------------------------------------------------------------------
+
+_CUSTOMER_MAP = """
+<#Customer> rml:logicalSource [ rml:source "{{ sf }}/customer.parquet" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/cust/{c_custkey}" ;
+                  rr:class ex:Customer ] ;
+  rr:predicateObjectMap [ rr:predicate ex:mktsegment ;
+    rr:objectMap [ rml:reference "c_mktsegment" ] ] ;
+  rr:predicateObjectMap [ rr:predicate ex:nation ;
+    rr:objectMap [ rr:template "http://ex.com/nation/{c_nationkey}" ] ] ;
+  rr:predicateObjectMap [ rr:predicate ex:acctbal ;
+    rr:objectMap [ rml:reference "c_acctbal" ; rr:datatype xsd:decimal ] ] .
+"""
+
+
+def q_customer_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, _CUSTOMER_MAP, sf_dir)
+
+
+ORACLE_CUSTOMER_TERMS = f"""
+WITH c AS (SELECT * FROM customer),
+dec AS (SELECT c_custkey,
+        regexp_replace(
+          regexp_replace(
+            CAST(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR),
+            '(\\.\\d*?)0+$', '\\1'),
+          '\\.$', '') AS bal FROM c)
+SELECT DISTINCT s, p, o, g FROM (
+  SELECT '<http://ex.com/cust/' || c_custkey || '>' AS s,
+         '<{RDF_TYPE}>' AS p, '<http://ex.com/Customer>' AS o,
+         CAST(NULL AS VARCHAR) AS g FROM c
+  UNION ALL
+  SELECT '<http://ex.com/cust/' || c_custkey || '>',
+         '<http://ex.com/mktsegment>', '"' || c_mktsegment || '"', NULL FROM c
+  UNION ALL
+  SELECT '<http://ex.com/cust/' || c_custkey || '>',
+         '<http://ex.com/nation>',
+         '<http://ex.com/nation/' || c_nationkey || '>', NULL FROM c
+  UNION ALL
+  SELECT '<http://ex.com/cust/' || c.c_custkey || '>',
+         '<http://ex.com/acctbal>',
+         '"' || dec.bal || '"^^<{XSD}decimal>', NULL
+  FROM c JOIN dec ON c.c_custkey = dec.c_custkey
+)
+"""
+
+# ---------------------------------------------------------------------------
+# q: rml_orders_customer_join — D5 referencing object map (broadcast join)
+# ---------------------------------------------------------------------------
+
+_ORDERS_JOIN_MAP = """
+<#Order> rml:logicalSource [ rml:source "{{ sf }}/orders.parquet" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/order/{o_orderkey}" ;
+                  rr:class ex:Order ] ;
+  rr:predicateObjectMap [ rr:predicate ex:customer ;
+    rr:objectMap [ rr:parentTriplesMap <#Cust> ;
+      rr:joinCondition [ rr:child "o_custkey" ; rr:parent "c_custkey" ] ] ] .
+
+<#Cust> rml:logicalSource [ rml:source "{{ sf }}/customer.parquet" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/cust/{c_custkey}" ] .
+"""
+
+
+def q_orders_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, _ORDERS_JOIN_MAP, sf_dir)
+
+
+ORACLE_ORDERS_JOIN = f"""
+SELECT DISTINCT s, p, o, g FROM (
+  SELECT '<http://ex.com/order/' || o_orderkey || '>' AS s,
+         '<{RDF_TYPE}>' AS p, '<http://ex.com/Order>' AS o,
+         CAST(NULL AS VARCHAR) AS g
+  FROM orders
+  UNION ALL
+  SELECT '<http://ex.com/order/' || o.o_orderkey || '>',
+         '<http://ex.com/customer>',
+         '<http://ex.com/cust/' || c.c_custkey || '>', NULL
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+"""
+
+# ---------------------------------------------------------------------------
+# q: rml_condition_filter — D1 crml:condition (translated, never eval)
+# ---------------------------------------------------------------------------
+
+_CONDITION_MAP = """
+<#ErrEvents> rml:logicalSource [ rml:source "{{ sf }}/events.parquet" ] ;
+  crml:condition "df['event_type'] == 'error'" ;
+  rr:subjectMap [ rr:template "http://ex.com/event/{event_id}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:user ;
+    rr:objectMap [ rr:template "http://ex.com/user/{user_id}" ] ] .
+"""
+
+
+def q_condition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, _CONDITION_MAP, sf_dir)
+
+
+ORACLE_CONDITION = """
+SELECT DISTINCT
+  '<http://ex.com/event/' || event_id || '>' AS s,
+  '<http://ex.com/user>' AS p,
+  '<http://ex.com/user/' || user_id || '>' AS o,
+  CAST(NULL AS VARCHAR) AS g
+FROM events WHERE event_type = 'error'
+"""
+
+# ---------------------------------------------------------------------------
+# q: rml_datatyped_literals — T8 XSD canonicalization (date from timestamp)
+# ---------------------------------------------------------------------------
+
+_DATATYPE_MAP = """
+<#OrderDates> rml:logicalSource [ rml:source "{{ sf }}/orders.parquet" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/order/{o_orderkey}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:orderDate ;
+    rr:objectMap [ rml:reference "o_orderdate" ; rr:datatype xsd:date ] ] ;
+  rr:predicateObjectMap [ rr:predicate ex:status ;
+    rr:objectMap [ rml:reference "o_orderstatus" ] ] .
+"""
+
+
+def q_datatyped_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, _DATATYPE_MAP, sf_dir)
+
+
+ORACLE_DATATYPED = f"""
+SELECT DISTINCT s, p, o, g FROM (
+  SELECT '<http://ex.com/order/' || o_orderkey || '>' AS s,
+         '<http://ex.com/orderDate>' AS p,
+         '"' || strftime(o_orderdate, '%Y-%m-%d') || '"^^<{XSD}date>' AS o,
+         CAST(NULL AS VARCHAR) AS g
+  FROM orders
+  UNION ALL
+  SELECT '<http://ex.com/order/' || o_orderkey || '>',
+         '<http://ex.com/status>', '"' || o_orderstatus || '"', NULL
+  FROM orders
+)
+"""
+
+# ---------------------------------------------------------------------------
+# q: rml_graph_quads — T10 named-graph quads
+# ---------------------------------------------------------------------------
+
+_QUADS_MAP = """
+<#Supplier> rml:logicalSource [ rml:source "{{ sf }}/supplier.parquet" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/supp/{s_suppkey}" ;
+                  rr:graph ex:suppliers ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ;
+    rr:objectMap [ rml:reference "s_name" ] ] ;
+  rr:predicateObjectMap [ rr:predicate ex:nation ;
+    rr:objectMap [ rr:template "http://ex.com/nation/{s_nationkey}" ] ;
+    rr:graph ex:supplier_nations ] .
+"""
+
+
+def q_graph_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, _QUADS_MAP, sf_dir)
+
+
+ORACLE_QUADS = """
+SELECT DISTINCT s, p, o, g FROM (
+  SELECT '<http://ex.com/supp/' || s_suppkey || '>' AS s,
+         '<http://ex.com/name>' AS p, '"' || s_name || '"' AS o,
+         '<http://ex.com/suppliers>' AS g
+  FROM supplier
+  UNION ALL
+  SELECT '<http://ex.com/supp/' || s_suppkey || '>',
+         '<http://ex.com/nation>',
+         '<http://ex.com/nation/' || s_nationkey || '>',
+         g
+  FROM supplier, (VALUES ('<http://ex.com/suppliers>'),
+                         ('<http://ex.com/supplier_nations>')) t(g)
+)
+"""
+
+# ---------------------------------------------------------------------------
+# q: rml_language_map — T7 per-row language tags
+# ---------------------------------------------------------------------------
+
+_LANG_MAP = """
+<#DocLang> rml:logicalSource [ rml:source "{{ sf }}/documents.parquet" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/doc/{doc_id}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:sourceLabel ;
+    rr:objectMap [ rml:reference "source" ;
+                   rml:languageMap [ rml:reference "lang" ] ] ] .
+"""
+
+
+def q_language_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, _LANG_MAP, sf_dir)
+
+
+ORACLE_LANG = """
+SELECT DISTINCT
+  '<http://ex.com/doc/' || doc_id || '>' AS s,
+  '<http://ex.com/sourceLabel>' AS p,
+  '"' || source || '"@' || lang AS o,
+  CAST(NULL AS VARCHAR) AS g
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# q: rml_function_map — §2.4 function maps (toLowerCase, string_md5)
+# ---------------------------------------------------------------------------
+
+_FUNCTION_MAP = """
+<#CustFn> rml:logicalSource [ rml:source "{{ sf }}/customer.parquet" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/cust/{c_custkey}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:nameLower ;
+    rr:objectMap [ fnml:functionValue [
+      rr:predicateObjectMap [ rr:predicate fno:executes ;
+        rr:objectMap [ rr:constant grel:toLowerCase ] ] ;
+      rr:predicateObjectMap [ rr:predicate grel:valueParameter ;
+        rr:objectMap [ rml:reference "c_name" ] ]
+    ] ] ] ;
+  rr:predicateObjectMap [ rr:predicate ex:nameMd5 ;
+    rr:objectMap [ fnml:functionValue [
+      rr:predicateObjectMap [ rr:predicate fno:executes ;
+        rr:objectMap [ rr:constant grel:string_md5 ] ] ;
+      rr:predicateObjectMap [ rr:predicate grel:valueParameter ;
+        rr:objectMap [ rml:reference "c_name" ] ]
+    ] ] ] .
+"""
+
+
+def q_function_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, _FUNCTION_MAP, sf_dir)
+
+
+ORACLE_FUNCTION = """
+SELECT DISTINCT s, p, o, g FROM (
+  SELECT '<http://ex.com/cust/' || c_custkey || '>' AS s,
+         '<http://ex.com/nameLower>' AS p,
+         '"' || lower(c_name) || '"' AS o, CAST(NULL AS VARCHAR) AS g
+  FROM customer
+  UNION ALL
+  SELECT '<http://ex.com/cust/' || c_custkey || '>',
+         '<http://ex.com/nameMd5>', '"' || md5(c_name) || '"', NULL
+  FROM customer
+)
+"""
+
+# ---------------------------------------------------------------------------
+# q: rml_multivalued_split — D2 multi-valued fan-out via grel:string_split
+# ---------------------------------------------------------------------------
+
+_SPLIT_MAP = """
+<#DocTokens> rml:logicalSource [ rml:source "{{ sf }}/documents.parquet" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/doc/{doc_id}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:token ;
+    rr:objectMap [ fnml:functionValue [
+      rr:predicateObjectMap [ rr:predicate fno:executes ;
+        rr:objectMap [ rr:constant grel:string_split ] ] ;
+      rr:predicateObjectMap [ rr:predicate grel:valueParameter ;
+        rr:objectMap [ rml:reference "text" ] ] ;
+      rr:predicateObjectMap [ rr:predicate grel:p_string_sep ;
+        rr:objectMap [ rr:constant " " ] ]
+    ] ] ] .
+"""
+
+
+def q_multivalued_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, _SPLIT_MAP, sf_dir)
+
+
+ORACLE_SPLIT = """
+SELECT DISTINCT
+  '<http://ex.com/doc/' || doc_id || '>' AS s,
+  '<http://ex.com/token>' AS p,
+  '"' || t.tok || '"' AS o,
+  CAST(NULL AS VARCHAR) AS g
+FROM documents, unnest(string_split(documents.text, ' ')) AS t(tok)
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+RML_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rml_customer_terms": q_customer_terms,
+    "rml_orders_customer_join": q_orders_customer_join,
+    "rml_condition_filter": q_condition_filter,
+    "rml_datatyped_literals": q_datatyped_literals,
+    "rml_graph_quads": q_graph_quads,
+    "rml_language_map": q_language_map,
+    "rml_function_map": q_function_map,
+    "rml_multivalued_split": q_multivalued_split,
+}
+
+RML_ORACLES: Dict[str, str] = {
+    "rml_customer_terms": ORACLE_CUSTOMER_TERMS,
+    "rml_orders_customer_join": ORACLE_ORDERS_JOIN,
+    "rml_condition_filter": ORACLE_CONDITION,
+    "rml_datatyped_literals": ORACLE_DATATYPED,
+    "rml_graph_quads": ORACLE_QUADS,
+    "rml_language_map": ORACLE_LANG,
+    "rml_function_map": ORACLE_FUNCTION,
+    "rml_multivalued_split": ORACLE_SPLIT,
+}
