@@ -1,0 +1,67 @@
+"""Training-data pipeline operators (dedup / similarity / text analysis /
+multimodal plumbing) — first-class components alongside the RML engine."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dedup import (
+    ORACLE_NGRAM_JACCARD,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from .similarity import (
+    ORACLE_ANN_TOPK,
+    ORACLE_COSINE_NEARDUP,
+    ann_cosine_topk,
+    ann_lsh_buckets,
+    embedding_cosine_neardup,
+)
+from .textstats import (
+    ORACLE_FINGERPRINT,
+    ORACLE_LANG_ID,
+    ORACLE_QUALITY,
+    ORACLE_TOKEN_COUNT,
+    doc_fingerprint,
+    text_lang_id,
+    text_quality_score,
+    text_token_count,
+)
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+OPS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ann_cosine_topk": ann_cosine_topk,
+    "embedding_cosine_neardup": embedding_cosine_neardup,
+    "ann_lsh_buckets": ann_lsh_buckets,
+    "text_lang_id": text_lang_id,
+    "text_quality_score": text_quality_score,
+    "text_token_count": text_token_count,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+# minhash/simhash banding and LSH buckets use seeded xxhash64 /
+# SHA-derived hyperplanes — not DuckDB-expressible ⇒ rows-only checks
+OPS_ORACLES: Dict[str, str] = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "ann_cosine_topk": ORACLE_ANN_TOPK,
+    "embedding_cosine_neardup": ORACLE_COSINE_NEARDUP,
+    "text_lang_id": ORACLE_LANG_ID,
+    "text_quality_score": ORACLE_QUALITY,
+    "text_token_count": ORACLE_TOKEN_COUNT,
+    "doc_fingerprint": ORACLE_FINGERPRINT,
+}

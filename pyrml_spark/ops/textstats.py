@@ -1,0 +1,166 @@
+"""Text analysis over the `documents` table: language-ID (stopword n-gram
+heuristic), quality scoring, token counting (whitespace + BPE-ish regex),
+document fingerprinting. All native column expressions — each doc processed
+in one narrow map pass, no shuffle until the (optional) aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lists per language (heuristic lang-id)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por"],
+    "de": ["der", "die", "und", "das", "ist", "mit", "ein", "von"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "est"],
+}
+
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _hits(lang: str):
+    words = "|".join(STOPWORDS[lang])
+    return F.size(
+        F.regexp_extract_all(
+            F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" ")),
+            F.lit(f" ({words}) "), 1,
+        )
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language guess with deterministic tie-break order
+    en > es > de > fr (the synthetic corpus is English-ish word soup — the
+    heuristic is the operator under test, not a model)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hit_cols = {lang: _hits(lang) for lang in STOPWORDS}
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in ["fr", "de", "es", "en"]:  # later wins ties → en preferred
+        h = hit_cols[lang]
+        cond = h >= best_hits
+        best = F.when(h > 0, F.when(cond, F.lit(lang)).otherwise(best)).otherwise(best)
+        best_hits = F.greatest(best_hits, h)
+    return docs.select(
+        "doc_id",
+        *[hit_cols[lang].alias(f"hits_{lang}") for lang in sorted(STOPWORDS)],
+        best.alias("lang_pred"),
+    )
+
+
+def _oracle_hits(lang: str) -> str:
+    words = "|".join(STOPWORDS[lang])
+    return (
+        "len(regexp_extract_all(' ' || lower(text) || ' ', "
+        f"' ({words}) ', 1))"
+    )
+
+
+ORACLE_LANG_ID = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_oracle_hits("de")} AS hits_de,
+         {_oracle_hits("en")} AS hits_en,
+         {_oracle_hits("es")} AS hits_es,
+         {_oracle_hits("fr")} AS hits_fr
+  FROM documents
+)
+SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+  CASE
+    WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
+    WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+    WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+    WHEN hits_de >= hits_fr THEN 'de'
+    ELSE 'fr'
+  END AS lang_pred
+FROM h
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + bucket."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_chars = F.length("text")
+    toks = F.split(F.col("text"), r"\s+")
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(F.col("text"),
+                                          F.lit(r"([^A-Za-z0-9\s])"), 1))
+    en_hits = _hits("en")
+    stop_ratio = F.round(en_hits / n_tokens, 6)
+    punct_ratio = F.round(n_punct / n_chars, 6)
+    avg_tok = F.round(n_chars / n_tokens, 6)
+    quality = (
+        F.when((n_tokens >= 10) & (stop_ratio > 0.05), F.lit("high"))
+        .when(n_tokens >= 10, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+ORACLE_QUALITY = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '([^A-Za-z0-9\\s])', 1)) AS n_punct,
+         {_oracle_hits("en")} AS en_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+       round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       round(CAST(en_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       CASE WHEN n_tokens >= 10 AND round(CAST(en_hits AS DOUBLE) / n_tokens, 6) > 0.05
+              THEN 'high'
+            WHEN n_tokens >= 10 THEN 'medium'
+            ELSE 'low' END AS quality
+FROM f
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (letters runs / digit runs /
+    single punctuation — the standard pre-tokenizer shape)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.size(F.split(F.col("text"), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(f"({BPE_ISH_RE})"), 1))
+    return docs.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
+    )
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '({BPE_ISH_RE})', 1)) AS bpe_tokens
+FROM documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 over the normalized text
+    (lowercase, collapsed whitespace) + a 16-bit shard bucket — the
+    partition-routing key a 100 TB dedup/shard pipeline would use."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    fp = F.md5(norm)
+    bucket = F.conv(F.substring(fp, 1, 4), 16, 10).cast("int")
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), bucket.alias("shard_bucket")
+    )
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+       CAST(('0x' || substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 4))::BIGINT AS INT) AS shard_bucket
+FROM documents
+"""
