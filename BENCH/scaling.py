@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (BASELINE.json north_rule): run the identical
+KG pipeline job at two local parallelism levels (default local[8] vs
+local[32]) on the same deterministic input and report triples/sec at both
+plus efficiency = (throughput_4N / throughput_N) / 4.
+
+No real cluster exists in this sandbox; per the task instructions two
+parallelism levels on one machine stand in for N vs 4N executors. Each level
+runs in its own subprocess (a JVM's master can't change in-process).
+
+Usage: python BENCH/scaling.py [--docs 400000] [--low 8] [--high 32]
+Writes BENCH/scaling_result.json and prints a JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import json, os, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from pyrml_spark.kg.pipeline import KGPipelineConfig, run_pipeline
+
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .appName(f"kg_scaling_{{cpus}}")
+         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.driver.memory", os.environ.get("SPARK_BENCH_MEM", "48g"))
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+with tempfile.TemporaryDirectory(prefix=f"kg_scale_{{cpus}}_") as d:
+    t0 = time.time()
+    out = run_pipeline(spark, d, KGPipelineConfig(n_docs=n_docs,
+                                                  use_pandas_extractor=True))
+    n = out.count()
+    dt = time.time() - t0
+print(json.dumps({{"cpus": cpus, "n_docs": n_docs, "triples": n,
+                   "elapsed_sec": round(dt, 3),
+                   "triples_per_sec": round(n / dt, 1)}}))
+"""
+
+
+def run_level(cpus: int, n_docs: int) -> dict:
+    script = _WORKER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cpus), str(n_docs)],
+        capture_output=True, text=True, check=True,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=400_000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    low = run_level(args.low, args.docs)
+    high = run_level(args.high, args.docs)
+    ratio = args.high / args.low
+    efficiency = (high["triples_per_sec"] / low["triples_per_sec"]) / ratio
+    result = {
+        "job": "kg_pipeline (generate→extract→canonicalize→materialize)",
+        "n_docs": args.docs,
+        "low": low,
+        "high": high,
+        "parallelism_ratio": ratio,
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+    }
+    with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], one JSON line on stdout:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1,
+     "kg_triples_per_sec": N, ...}
+
+Every query is forced end-to-end with the noop sink (full materialization,
+no column-pruned count shortcuts)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "200000"))
+
+HEADLINE = [
+    "rml_customer_terms",
+    "rml_orders_customer_join",
+    "rml_datatyped_literals",
+    "rml_function_map",
+    "rml_multivalued_split",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "embedding_cosine_neardup",
+    "text_lang_id",
+    "text_quality_score",
+    "doc_fingerprint",
+]
+
+
+def build_session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pyrml_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_BENCH_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    from __spark_entry__ import queries
+
+    spark = build_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = queries()
+
+    timings = {}
+    total = 0.0
+    for name in HEADLINE:
+        q = qmap[name]
+        t0 = time.time()
+        force(q(spark, SF_DIR))
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    # KG pipeline throughput (triples/sec end-to-end, fresh checkpoint dir)
+    from pyrml_spark.kg.pipeline import KGPipelineConfig, run_pipeline
+
+    with tempfile.TemporaryDirectory(prefix="kg_bench_") as d:
+        t0 = time.time()
+        out = run_pipeline(
+            spark, d,
+            KGPipelineConfig(n_docs=KG_DOCS, use_pandas_extractor=True),
+        )
+        n_triples = out.count()
+        kg_dt = round(time.time() - t0, 3)
+    timings["kg_pipeline"] = kg_dt
+    total += kg_dt
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline queries + KG pipeline end-to-end",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "kg_docs": KG_DOCS,
+        "kg_triples": n_triples,
+        "kg_triples_per_sec": round(n_triples / kg_dt, 1),
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Entity canonicalization: union-find connected components over candidate
+sameAs links (north_rule), as iterative min-label propagation with
+checkpointing to cut lineage (SURVEY.md §7 step 6).
+
+Algorithm: alternating-direction min-label propagation —
+    label(v) ← min(label(v), min label over neighbors)
+iterated to fixpoint. Each iteration is two hash joins on the edge table;
+``localCheckpoint`` every iteration truncates the logical plan so the loop
+stays O(iter) not O(2^iter) at plan level; convergence is detected with an
+aggregate (changed-count). Bounded by ``max_iter`` with a loud failure, and
+every iteration's metrics land in the lineage manifest.
+
+At 10^12-doc scale the edge table is huge but each iteration is a pair of
+shuffles on the same key — AQE handles skew (celebrity entities) and the
+label table shrinks as components converge.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ConvergenceError(RuntimeError):
+    pass
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 25,
+    on_iteration: Optional[Callable[[int, int], None]] = None,
+) -> DataFrame:
+    """edges(src, dst) → (node, component) where component = min node id
+    (string min) in the connected component.
+
+    Deterministic: labels are the lexicographic min of the node keys.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+        .distinct()
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+
+    for it in range(max_iter):
+        # neighbor minimum: for each node, min of neighbors' labels
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+                (F.col("nbr_component").isNotNull()
+                 & (F.col("nbr_component") < F.col("component")))
+                .cast("int").alias("changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
+        labels = new_labels.drop("changed")
+        if on_iteration:
+            on_iteration(it, int(changed))
+        if changed == 0:
+            return labels
+    raise ConvergenceError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
+def canonical_mapping(edges: DataFrame, **kw) -> DataFrame:
+    """(entity, canonical) for every entity that appears in an edge.
+    Entities without links are their own canonical (handled by the caller
+    via left join + coalesce)."""
+    cc = connected_components(edges, **kw)
+    return cc.select(F.col("node").alias("entity"),
+                     F.col("component").alias("canonical"))
+
+
+def rewrite_entities(
+    triples: DataFrame,
+    mapping: DataFrame,
+    entity_prefix: str = "<http://kg.ex/ent/person/",
+) -> DataFrame:
+    """Rewrite subject/object entity IRIs through the canonical mapping.
+
+    The mapping is keyed on the entity *surface key*; IRIs are rebuilt as
+    ``<prefix><canonical>>``. Broadcast when small; at scale this is a pair
+    of hash joins on s/o."""
+    suffix = ">"
+    m = mapping.select(
+        F.concat(F.lit(entity_prefix), F.col("entity"),
+                 F.lit(suffix)).alias("ent_iri"),
+        F.concat(F.lit(entity_prefix), F.col("canonical"),
+                 F.lit(suffix)).alias("canon_iri"),
+    )
+    ms = F.broadcast(m.withColumnRenamed("ent_iri", "s_ent")
+                      .withColumnRenamed("canon_iri", "s_canon"))
+    mo = F.broadcast(m.withColumnRenamed("ent_iri", "o_ent")
+                      .withColumnRenamed("canon_iri", "o_canon"))
+    out = (
+        triples.join(ms, triples.s == F.col("s_ent"), "left")
+        .join(mo, triples.o == F.col("o_ent"), "left")
+        .select(
+            F.coalesce(F.col("s_canon"), F.col("s")).alias("s"),
+            F.col("p"),
+            F.coalesce(F.col("o_canon"), F.col("o")).alias("o"),
+            F.col("g"),
+        )
+    )
+    return out
+
+
+def sameas_triples(mapping: DataFrame,
+                   entity_prefix: str = "<http://kg.ex/ent/person/") -> DataFrame:
+    """Materialized owl:sameAs edges entity→canonical (excluding self)."""
+    return (
+        mapping.filter(F.col("entity") != F.col("canonical"))
+        .select(
+            F.concat(F.lit(entity_prefix), F.col("entity"),
+                     F.lit(">")).alias("s"),
+            F.lit("<http://www.w3.org/2002/07/owl#sameAs>").alias("p"),
+            F.concat(F.lit(entity_prefix), F.col("canonical"),
+                     F.lit(">")).alias("o"),
+            F.lit("<http://kg.ex/graph/sameas>").alias("g"),
+        )
+    )

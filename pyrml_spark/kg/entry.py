@@ -1,0 +1,55 @@
+"""Driver-facing KG pipeline queries (rows-only checks: the generator +
+iterative connected components are not SQL-expressible in DuckDB; per-row
+invariants and native/pandas extractor equality are pytest-verified in
+tests/test_kg_pipeline.py)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .datagen import generate_documents
+from .extract import mentions_native, sameas_candidates
+from .canonicalize import canonical_mapping
+from .pipeline import KGPipelineConfig, run_pipeline
+
+_N_DOCS_CHECK = 300
+
+
+def kg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule input table itself (deterministic synthesis)."""
+    return generate_documents(spark, _N_DOCS_CHECK)
+
+
+def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mentions_native(generate_documents(spark, _N_DOCS_CHECK))
+
+
+def kg_canonical_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = generate_documents(spark, _N_DOCS_CHECK)
+    return canonical_mapping(sameas_candidates(mentions_native(docs)))
+
+
+def kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with tempfile.TemporaryDirectory(prefix="kg_entry_") as d:
+        df = run_pipeline(
+            spark, d,
+            KGPipelineConfig(n_docs=_N_DOCS_CHECK, use_pandas_extractor=False),
+        )
+        # materialize before the checkpoint dir disappears
+        out = df.select("s", "p", "o", "g").cache()
+        out.count()
+        return out
+
+
+KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_documents": kg_documents,
+    "kg_mentions": kg_mentions,
+    "kg_canonical_mapping": kg_canonical_mapping,
+    "kg_pipeline_triples": kg_pipeline_triples,
+}
+
+KG_ORACLES: Dict[str, str] = {}

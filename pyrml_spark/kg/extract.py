@@ -1,0 +1,186 @@
+"""Mention detection + triple expansion over interleaved documents.
+
+Two interchangeable implementations (tested for equality):
+
+* :func:`mentions_native` — pure Column expressions (posexplode +
+  regexp_extract_all), whole-stage-codegen'd; the default.
+* :func:`mentions_pandas` — ``mapInPandas`` Arrow-batched extractor, the
+  north_star's "mention detection inside vectorized pandas UDFs" path; this
+  is where a real model-based NER would slot in (same schema contract).
+
+The reference has no extraction stage (this is the north rule's new design);
+term-map expansion of mentions reuses the engine's template semantics
+(deterministic IRIs, SURVEY.md §4 "deterministic blank-node/IRI hashing").
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PERSON_RE = r"PERSON:([A-Za-z0-9_]+)"
+PLACE_RE = r"PLACE:([A-Za-z0-9_]+)"
+
+MENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("span_idx", T.IntegerType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("etype", T.StringType()),
+        T.StructField("surface", T.StringType()),
+    ]
+)
+
+
+def _text_spans(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).select(
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def mentions_native(docs: DataFrame) -> DataFrame:
+    """(doc_id, span_idx, offset, etype, surface) — one row per mention."""
+    spans = _text_spans(docs).filter(F.col("kind") == "text")
+    persons = spans.select(
+        "doc_id", "span_idx", "offset", F.lit("person").alias("etype"),
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(PERSON_RE), 1))
+        .alias("surface"),
+    )
+    places = spans.select(
+        "doc_id", "span_idx", "offset", F.lit("place").alias("etype"),
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(PLACE_RE), 1))
+        .alias("surface"),
+    )
+    return persons.unionByName(places)
+
+
+def mentions_pandas(docs: DataFrame) -> DataFrame:
+    """Arrow-batched extractor via mapInPandas — identical output contract.
+    Batches arrive as pandas DataFrames; the regex runs vectorized over the
+    exploded span table (str.extractall), never row-at-a-time driver code."""
+    import re
+
+    spans = _text_spans(docs).filter(F.col("kind") == "text").select(
+        "doc_id", "span_idx", "offset", "text"
+    )
+
+    person_pat = re.compile(PERSON_RE)
+    place_pat = re.compile(PLACE_RE)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for pat, etype in ((person_pat, "person"), (place_pat, "place")):
+                hits = pdf["text"].str.extractall(pat)
+                if hits.empty:
+                    continue
+                idx = hits.index.get_level_values(0)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": pdf["doc_id"].values[idx],
+                            "span_idx": pdf["span_idx"].values[idx],
+                            "offset": pdf["offset"].values[idx],
+                            "etype": etype,
+                            "surface": hits[0].values,
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in MENTION_SCHEMA}
+            )
+
+    return spans.mapInPandas(extract, MENTION_SCHEMA)
+
+
+def media_spans(docs: DataFrame) -> DataFrame:
+    return _text_spans(docs).filter(F.col("kind") != "text").select(
+        "doc_id", "span_idx", "offset", "kind", "media_ref"
+    )
+
+
+def mention_triples(mentions: DataFrame) -> DataFrame:
+    """Mentions → (s,p,o,g) with deterministic entity IRIs (template hash).
+
+    Entity IRI = http://kg.ex/ent/{etype}/{surface}; the canonicalization
+    stage later rewrites subjects through the sameAs components."""
+    ent = F.concat(F.lit("<http://kg.ex/ent/"), F.col("etype"),
+                   F.lit("/"), F.col("surface"), F.lit(">"))
+    doc = F.concat(F.lit("<http://kg.ex/doc/"), F.col("doc_id"), F.lit(">"))
+    g = F.lit("<http://kg.ex/graph/mentions>")
+    mentions_t = mentions.select(
+        doc.alias("s"), F.lit("<http://kg.ex/p/mentions>").alias("p"),
+        ent.alias("o"), g.alias("g"),
+    )
+    type_t = mentions.select(
+        ent.alias("s"),
+        F.lit("<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>").alias("p"),
+        F.concat(
+            F.lit("<http://kg.ex/class/"),
+            F.initcap(F.col("etype")), F.lit(">")
+        ).alias("o"),
+        g.alias("g"),
+    )
+    surface_t = mentions.select(
+        ent.alias("s"), F.lit("<http://kg.ex/p/surface>").alias("p"),
+        F.concat(F.lit('"'), F.col("surface"), F.lit('"')).alias("o"),
+        g.alias("g"),
+    )
+    return mentions_t.unionByName(type_t).unionByName(surface_t)
+
+
+def media_triples(media: DataFrame) -> DataFrame:
+    doc = F.concat(F.lit("<http://kg.ex/doc/"), F.col("doc_id"), F.lit(">"))
+    m = F.concat(F.lit("<"), F.col("media_ref"), F.lit(">"))
+    g = F.lit("<http://kg.ex/graph/media>")
+    has = media.select(
+        doc.alias("s"), F.lit("<http://kg.ex/p/hasMedia>").alias("p"),
+        m.alias("o"), g.alias("g"),
+    )
+    kind = media.select(
+        m.alias("s"), F.lit("<http://kg.ex/p/mediaKind>").alias("p"),
+        F.concat(F.lit('"'), F.col("kind"), F.lit('"')).alias("o"),
+        g.alias("g"),
+    )
+    return has.unionByName(kind)
+
+
+def sameas_candidates(mentions: DataFrame) -> DataFrame:
+    """Candidate sameAs links from the alias convention: ``X_aka`` ↔ ``X``,
+    ``X_aka2`` ↔ ``X_aka`` (multi-hop chains for the union-find stage).
+    In a production linker this is the blocking+matching output; here the
+    blocker is the deterministic suffix rule. Output: (src, dst) entity keys.
+    """
+    ents = (
+        mentions.filter(F.col("etype") == "person")
+        .select("surface").distinct()
+    )
+    linked = ents.filter(F.col("surface").endswith("_aka")
+                         | F.col("surface").endswith("_aka2"))
+    one_hop = linked.select(
+        F.col("surface").alias("src"),
+        F.when(F.col("surface").endswith("_aka2"),
+               F.concat(F.regexp_replace(F.col("surface"), r"_aka2$", ""),
+                        F.lit("_aka")))
+        .otherwise(F.regexp_replace(F.col("surface"), r"_aka$", ""))
+        .alias("dst"),
+    )
+    # close the chain for _aka2 surfaces whose middle alias was never
+    # mentioned: the derived X_aka node still links to X
+    middle = linked.filter(F.col("surface").endswith("_aka2")).select(
+        F.concat(F.regexp_replace(F.col("surface"), r"_aka2$", ""),
+                 F.lit("_aka")).alias("src"),
+        F.regexp_replace(F.col("surface"), r"_aka2$", "").alias("dst"),
+    )
+    return one_hop.unionByName(middle).distinct()

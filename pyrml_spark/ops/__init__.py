@@ -21,6 +21,7 @@ from .similarity import (
     ann_lsh_buckets,
     embedding_cosine_neardup,
 )
+from .multimodal import media_features
 from .textstats import (
     ORACLE_FINGERPRINT,
     ORACLE_LANG_ID,
@@ -51,6 +52,7 @@ OPS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
     "doc_fingerprint": doc_fingerprint,
+    "media_features": media_features,
 }
 
 # minhash/simhash banding and LSH buckets use seeded xxhash64 /

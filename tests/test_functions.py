@@ -1,0 +1,180 @@
+"""GREL/IdLab function registry unit tests (semantics per the reference's
+pyrml/functions.py, bugs excluded per SURVEY.md §7)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrml_spark.functions.registry import (
+    GREL,
+    IDLAB,
+    STLAB,
+    WHO,
+    default_registry,
+    strptime_to_java,
+)
+
+VP = GREL + "valueParameter"
+VP2 = GREL + "valueParameter2"
+SUB = GREL + "string_sub"
+SEP = GREL + "p_string_sep"
+ARR = GREL + "p_array_a"
+NUM = GREL + "p_dec_n"
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return default_registry()
+
+
+def run1(spark, col_expr):
+    return spark.range(1).select(col_expr.alias("v")).collect()[0]["v"]
+
+
+def build(reg, fun, *args):
+    return reg.get(fun).build(list(args))
+
+
+def test_string_functions(spark, reg):
+    assert run1(spark, build(reg, GREL + "toLowerCase", (VP, F.lit("AbC")))) == "abc"
+    assert run1(spark, build(reg, GREL + "toUpperCase", (VP, F.lit("AbC")))) == "ABC"
+    assert run1(spark, build(reg, GREL + "string_trim", (VP, F.lit("  x ")))) == "x"
+    assert run1(spark, build(reg, GREL + "string_toTitlecase",
+                             (VP, F.lit("mcDonald and sons")))) == "McDonald And Sons"
+    assert run1(spark, build(reg, GREL + "string_length", (VP, F.lit("abcd")))) == 4
+    assert run1(spark, build(reg, GREL + "string_contains",
+                             (VP, F.lit("hello")), (SUB, F.lit("ell")))) is True
+    assert run1(spark, build(reg, GREL + "string_replace",
+                             (VP, F.lit("a-b-c")),
+                             (GREL + "p_string_find", F.lit("-")),
+                             (GREL + "p_string_replace", F.lit("+")))) == "a+b+c"
+    assert run1(spark, build(reg, GREL + "string_endsWith",
+                             (VP, F.lit("hello")), (SUB, F.lit("lo")))) is True
+    assert run1(spark, build(reg, GREL + "string_indexOf",
+                             (VP, F.lit("hello")), (SUB, F.lit("l")))) == 2
+    assert run1(spark, build(reg, GREL + "string_indexOf",
+                             (VP, F.lit("hello")), (SUB, F.lit("z")))) == -1
+    assert run1(spark, build(reg, GREL + "string_lastIndexOf",
+                             (VP, F.lit("hello")), (SUB, F.lit("l")))) == 3
+    assert run1(spark, build(reg, GREL + "string_lastIndexOf",
+                             (VP, F.lit("hello")), (SUB, F.lit("z")))) == -1
+    # correct GREL slice [from:to) — NOT the reference's reversed bug
+    assert run1(spark, build(reg, GREL + "string_substring",
+                             (VP, F.lit("abcdef")),
+                             (GREL + "p_int_i_from", F.lit(1)),
+                             (GREL + "p_int_i_opt_to", F.lit(4)))) == "bcd"
+    assert run1(spark, build(reg, GREL + "string_chomp",
+                             (VP, F.lit("a\nb\n")), (SEP, F.lit("")))) == "ab"
+    assert run1(spark, build(reg, IDLAB + "concat",
+                             (IDLAB + "str", F.lit("a")),
+                             (IDLAB + "otherStr", F.lit("b")),
+                             (IDLAB + "delimiter", F.lit("-")))) == "a-b"
+    assert run1(spark, build(reg, IDLAB + "slugify",
+                             (IDLAB + "str", F.lit("Hello, World! 42")))) \
+        == "hello-world-42"
+    assert run1(spark, build(reg, WHO + "local_name",
+                             (WHO + "value", F.lit("http://x.org/a/Name")))) == "Name"
+    assert run1(spark, build(reg, WHO + "local_name",
+                             (WHO + "value", F.lit("http://x.org/a#Frag")))) == "Frag"
+
+
+def test_numeric_and_bool_functions(spark, reg):
+    assert run1(spark, build(reg, GREL + "string_toNumber",
+                             (GREL + "p_any_e", F.lit("2.5")))) == 2.5
+    assert run1(spark, build(reg, GREL + "math_min",
+                             (NUM, F.lit("3")), (GREL + "param_n2", F.lit("7")))) == 3.0
+    assert run1(spark, build(reg, GREL + "math_max",
+                             (NUM, F.lit("3")), (GREL + "param_n2", F.lit("7")))) == 7.0
+    assert run1(spark, build(reg, GREL + "math_floor", (NUM, F.lit("2.7")))) == 2
+    assert run1(spark, build(reg, GREL + "math_ceil", (NUM, F.lit("2.2")))) == 3
+    assert run1(spark, build(reg, GREL + "math_log", (NUM, F.lit("1000")))) == 3.0
+    assert run1(spark, build(reg, IDLAB + "equal",
+                             (VP, F.lit("a")), (VP2, F.lit("a")))) is True
+    assert run1(spark, build(reg, IDLAB + "notEqual",
+                             (VP, F.lit("a")), (VP2, F.lit("b")))) is True
+    # numeric inRange [from, to) — NOT the reference's int-only range() bug
+    assert run1(spark, build(reg, IDLAB + "inRange",
+                             (IDLAB + "p_test", F.lit("2.5")),
+                             (IDLAB + "p_from", F.lit("2")),
+                             (IDLAB + "p_to", F.lit("3")))) is True
+    assert run1(spark, build(reg, GREL + "boolean_not",
+                             (GREL + "bool_b", F.lit("true")))) is False
+    assert run1(spark, build(reg, GREL + "controls_if",
+                             (GREL + "bool_b", F.lit("true")),
+                             (GREL + "any_true", F.lit("yes")),
+                             (GREL + "any_false", F.lit("no")))) == "yes"
+    assert run1(spark, build(reg, GREL + "boolean_and",
+                             (GREL + "param_rep_b", F.lit("true")),
+                             (GREL + "param_rep_b", F.lit("false")))) is False
+    assert run1(spark, build(reg, GREL + "boolean_or",
+                             (GREL + "param_rep_b", F.lit("true")),
+                             (GREL + "param_rep_b", F.lit("false")))) is True
+
+
+def test_array_functions(spark, reg):
+    arr = F.array(F.lit("a"), F.lit("b"), F.lit("c"))
+    assert run1(spark, build(reg, GREL + "array_length", (ARR, arr))) == 3
+    assert run1(spark, build(reg, GREL + "array_reverse", (ARR, arr))) == ["c", "b", "a"]
+    assert run1(spark, build(reg, GREL + "array_join",
+                             (ARR, arr), (SEP, F.lit("-")))) == "a-b-c"
+    assert run1(spark, build(reg, GREL + "array_slice",
+                             (ARR, arr),
+                             (GREL + "param_int_i_from", F.lit(1)),
+                             (GREL + "param_int_i_opt_to", F.lit(3)))) == ["b", "c"]
+    nums = F.array(F.lit("1"), F.lit("2"), F.lit("3"))
+    assert run1(spark, build(reg, GREL + "array_sum", (ARR, nums))) == 6.0
+    assert run1(spark, build(reg, GREL + "string_split",
+                             (VP, F.lit("a b c")), (SEP, F.lit(" ")))) == ["a", "b", "c"]
+    assert run1(spark, build(reg, GREL + "listContainsElement",
+                             (IDLAB + "list", arr),
+                             (IDLAB + "str", F.lit("b")))) is True
+
+
+def test_hash_and_date_functions(spark, reg):
+    assert run1(spark, build(reg, GREL + "string_md5", (VP, F.lit("abc")))) \
+        == "900150983cd24fb0d6963f7d28e17f72"
+    assert run1(spark, build(reg, GREL + "string_sha1", (VP, F.lit("abc")))) \
+        == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    assert strptime_to_java("%d/%m/%Y %H:%M") == "dd/MM/yyyy HH:mm"
+    assert run1(spark, build(reg, IDLAB + "normalizeDate",
+                             (IDLAB + "strDate", F.lit("23/12/1919")),
+                             (IDLAB + "pattern", F.lit("%d/%m/%Y")))) == "1919-12-23"
+    assert run1(spark, build(reg, IDLAB + "normalizeDateTime",
+                             (IDLAB + "strDate", F.lit("23/12/1919 10:30")),
+                             (IDLAB + "pattern", F.lit("%d/%m/%Y %H:%M")))) \
+        == "1919-12-23T10:30:00"
+
+
+def test_short_uuid_matches_published_algorithm(spark, reg):
+    """shortuuid.uuid('test') base57 prefix — public algorithm
+    (uuid5(NAMESPACE_DNS, name) → base57, alphabet without 0O1Il)."""
+    import uuid as _uuid
+
+    alphabet = "23456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+    number = _uuid.uuid5(_uuid.NAMESPACE_DNS, "test").int
+    digits = []
+    while number:
+        number, d = divmod(number, 57)
+        digits.append(alphabet[d])
+    expected = "".join(digits[::-1]).rjust(22, alphabet[0])[:8]
+    got = run1(spark, build(reg, STLAB + "short_uuid",
+                            (STLAB + "in_string", F.lit("test"))))
+    assert got == expected
+
+
+def test_true_condition_null_drops(spark, reg):
+    assert run1(spark, build(reg, IDLAB + "trueCondition",
+                             (IDLAB + "strBoolean", F.lit("false")),
+                             (IDLAB + "str", F.lit("x")))) is None
+    assert run1(spark, build(reg, IDLAB + "trueCondition",
+                             (IDLAB + "strBoolean", F.lit("true")),
+                             (IDLAB + "str", F.lit("x")))) == "x"
+
+
+def test_coalesce_and_isnull(spark, reg):
+    assert run1(spark, build(reg, GREL + "other_coalesce",
+                             (GREL + "p_any_rep_e", F.lit(None).cast("string")),
+                             (GREL + "p_any_rep_e", F.lit("b")))) == "b"
+    assert run1(spark, build(reg, IDLAB + "isNull",
+                             (IDLAB + "str", F.lit(None).cast("string")))) is True
+    assert run1(spark, build(reg, IDLAB + "isNull",
+                             (IDLAB + "str", F.lit("x")))) is False

@@ -1,0 +1,58 @@
+"""Plan-quality assertions — the 100 TB concerns, checked on .explain output:
+column pruning reaches the parquet scan, small parents broadcast, no
+row-at-a-time Python UDFs in RML plans, whole-stage codegen present."""
+
+import re
+
+from pyrml_spark.testdata_rml import (
+    q_customer_terms,
+    q_orders_customer_join,
+    q_condition_filter,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_customer_scan_is_column_pruned(spark):
+    df = q_customer_terms(spark, SF_DIR)
+    plan = formatted(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # only the referenced columns, not the whole customer schema
+    assert cols == {"c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal"}, cols
+
+
+def test_condition_filter_pushed_down(spark):
+    df = q_condition_filter(spark, SF_DIR)
+    plan = formatted(df)
+    assert "PushedFilters:" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(event_type,error\)", plan), plan
+
+
+def test_refobj_join_is_broadcast(spark):
+    df = q_orders_customer_join(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_no_python_udf_in_rml_core_plans(spark):
+    for q in (q_customer_terms, q_orders_customer_join, q_condition_filter):
+        plan = plan_of(q(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan  # row-at-a-time Python
+        assert "ArrowEvalPython" not in plan  # no UDF at all in core term maps
+
+
+def test_whole_stage_codegen_present(spark):
+    plan = plan_of(q_customer_terms(spark, SF_DIR))
+    assert "WholeStageCodegen" in plan
