@@ -1,0 +1,78 @@
+"""CLI — parity with the reference's ``pyrml-mapper.py`` (which, note, ships
+with a NameError bug at pyrml-mapper.py:27; documented in SURVEY.md §7 and
+not replicated):
+
+    python -m pyrml_spark [-o OUTPUT] [-f {nquads,ntriples,parquet}]
+                          [-p N] [-v KEY=VALUE ...] mapping.ttl
+
+Default output format nt-like (the reference defaults to 'nt',
+pyrml-mapper.py:40). Parquet output is the scale path: partitioned
+(s,p,o,g) table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="pyrml_spark")
+    ap.add_argument("mapping", help="RML mapping document (Turtle)")
+    ap.add_argument("-o", "--output", default=None,
+                    help="output path (directory); stdout if omitted")
+    ap.add_argument("-f", "--format", default="ntriples",
+                    choices=["nquads", "ntriples", "parquet"])
+    ap.add_argument("-p", "--parallelism", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "4")))
+    ap.add_argument("-v", "--var", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="template variable (Jinja-style {{ KEY }})")
+    ap.add_argument("--no-dedup", action="store_true",
+                    help="skip the distinct pass (RDF set semantics)")
+    args = ap.parse_args(argv)
+
+    template_vars = {}
+    for kv in args.var:
+        k, _, v = kv.partition("=")
+        template_vars[k] = v
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.parallelism}]")
+        .appName("pyrml_spark_cli")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from .compiler import convert
+    from .nquads import nquads_line_col, write_nquads
+
+    df = convert(
+        spark, args.mapping, template_vars=template_vars or None,
+        deduplicate=not args.no_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    if args.format == "ntriples":
+        df = df.withColumn("g", F.lit(None).cast("string"))
+    if args.format == "parquet":
+        if not args.output:
+            print("parquet output requires -o", file=sys.stderr)
+            return 2
+        df.write.mode("overwrite").parquet(args.output)
+    elif args.output:
+        write_nquads(df, args.output)
+    else:
+        for row in df.select(nquads_line_col().alias("line")).toLocalIterator():
+            print(row["line"])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

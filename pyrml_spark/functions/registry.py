@@ -49,6 +49,20 @@ class RegisteredFunction:
         self.builder = builder
         self.params = params  # kwarg name -> param IRI
 
+    def build_positional(self, args: Sequence[object]) -> Column:
+        """Bind args in declared parameter order (%eval:% calls, T14)."""
+        names = list(self.params)
+        kwargs: Dict[str, object] = {}
+        for i, col in enumerate(args):
+            if i < len(names):
+                kwargs[names[i]] = col
+            elif names:
+                last = names[-1]
+                prev = kwargs[last]
+                kwargs[last] = (prev if isinstance(prev, list)
+                                else [prev]) + [col]
+        return self.builder(**kwargs)
+
     def build(self, args: Sequence[tuple]) -> Column:
         """args: sequence of (param_iri, Column). Repeated param IRIs collect
         into a list kwarg (GREL list params like p_array_a)."""
@@ -89,6 +103,50 @@ class FunctionRegistry:
         if fun_id not in self._fns:
             raise FunctionNotRegisteredError(fun_id)
         return self._fns[fun_id]
+
+    def resolve(self, name: str) -> RegisteredFunction:
+        """Lookup by exact id, else by IRI local name (for %eval:% short
+        names — the reference resolves eval names against its registry,
+        pyrml_api.py:562-568)."""
+        if name in self._fns:
+            return self._fns[name]
+        matches = [
+            f for iri, f in self._fns.items()
+            if iri.rsplit("#", 1)[-1].rsplit("/", 1)[-1] == name
+        ]
+        if len(matches) == 1:
+            return matches[0]
+        if not matches:
+            raise FunctionNotRegisteredError(name)
+        raise FunctionNotRegisteredError(
+            f"ambiguous %eval% function name {name!r}"
+        )
+
+    def register_python(self, fun_id: str, f: Callable,
+                        return_type: str = "string") -> None:
+        """Runtime registration of a plain Python callable (parity with
+        PyRML.register_function, pyrml_api.py:728-729). Wrapped as an
+        Arrow-batched pandas UDF — vectorized transport, per-element apply."""
+        spark_t = getattr(T, "StringType")() if return_type == "string" else \
+            T._parse_datatype_string(return_type)
+
+        def builder(*cols, **kwcols):
+            args = list(cols) + list(kwcols.values())
+
+            @F.pandas_udf(spark_t)
+            def udf(*series: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [f(*vals) for vals in zip(*series)]
+                )
+
+            return udf(*[c.cast("string") if hasattr(c, "cast") else F.lit(c)
+                         for c in args])
+
+        # accept any positional arity: params map is synthesized lazily
+        rf = RegisteredFunction(fun_id, builder, {})
+        rf.build_positional = lambda args: builder(*args)  # type: ignore
+        rf.build = lambda args: builder(*[c for _, c in args])  # type: ignore
+        self._fns[fun_id] = rf
 
     def compile_call(self, ctx, call) -> Column:
         """FunctionCall IR → Column. Param term maps compile to raw values."""

@@ -200,22 +200,29 @@ def simhash64(docs: DataFrame) -> DataFrame:
     sign-sum of token-hash bits."""
     toks = F.array_distinct(_tokens(F.col("text")))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bits = [
-        F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h, _i=i: acc
-                + F.when(h.bitwiseAND(F.lit(1 << _i)) != 0, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i in range(63)  # avoid sign bit
-    ]
-    sim = bits[0]
-    for b in bits[1:]:
-        sim = sim.bitwiseOR(b)
+    n_bits = 63  # avoid the sign bit
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(n_bits)])
+    # per-token ±1 contribution vector, summed element-wise in ONE pass
+    contribs = F.transform(
+        hashes,
+        lambda h: F.transform(
+            masks,
+            lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    sums = F.aggregate(
+        contribs,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, c: F.zip_with(acc, c, lambda a, x: a + x),
+    )
+    sim = F.aggregate(
+        F.zip_with(sums, masks, lambda s, m: F.struct(s.alias("s"),
+                                                      m.alias("m"))),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc.bitwiseOR(
+            F.when(e["s"] > 0, e["m"]).otherwise(F.lit(0).cast("long"))
+        ),
+    )
     return docs.select("doc_id", sim.alias("simhash"))
 
 

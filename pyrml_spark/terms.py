@@ -171,15 +171,13 @@ def canonicalize_datatype(col: Column, datatype: str) -> Column:
 # raw value + rendering
 # ---------------------------------------------------------------------------
 
-def compile_template_raw(ctx: CompileCtx, template: str, iri_mode: bool) -> Column:
-    """Template → concat expression. IRI mode %-encodes each placeholder.
-    A NULL placeholder nulls the whole term (concat null-propagation ==
-    the reference's NaN rule at pyrml_api.py:432-434)."""
+def _plain_template_parts(ctx: CompileCtx, text: str,
+                          iri_mode: bool) -> List[Column]:
     parts: List[Column] = []
     pos = 0
-    for m in _TMPL_TOKEN.finditer(template):
+    for m in _TMPL_TOKEN.finditer(text):
         if m.start() > pos:
-            parts.append(F.lit(template[pos:m.start()]))
+            parts.append(F.lit(text[pos:m.start()]))
         tok = m.group(0)
         if tok == "\\{":
             parts.append(F.lit("{"))
@@ -190,11 +188,58 @@ def compile_template_raw(ctx: CompileCtx, template: str, iri_mode: bool) -> Colu
             val = source_col(ctx, name)
             parts.append(url_encode(val) if iri_mode else val)
         pos = m.end()
-    if pos < len(template):
-        parts.append(F.lit(template[pos:]))
+    if pos < len(text):
+        parts.append(F.lit(text[pos:]))
+    return parts
+
+
+def compile_eval_ast(ctx: CompileCtx, ast) -> Column:
+    """%eval:% AST → Column (T14). Functions resolved from the registry by
+    registered id or IRI local name; '*' passes the whole row struct."""
+    kind = ast[0]
+    if kind == "call":
+        if ctx.functions is None:
+            raise ValueError("%eval:% used but no FunctionRegistry in ctx")
+        fn = ctx.functions.resolve(ast[1])
+        args = [compile_eval_ast(ctx, a) for a in ast[2]]
+        return fn.build_positional(args)
+    if kind == "str":
+        s = ast[1]
+        if "{" in s:
+            parts = _plain_template_parts(ctx, s, iri_mode=False)
+            return parts[0] if len(parts) == 1 else F.concat(*parts)
+        return F.lit(s)
+    if kind in ("num", "const"):
+        return F.lit(ast[1])
+    if kind == "row":
+        return F.struct(*[_col(c).alias(c) for c in ctx.columns])
+    raise ValueError(f"unknown eval AST node {ast!r}")
+
+
+def compile_template_raw(ctx: CompileCtx, template: str, iri_mode: bool) -> Column:
+    """Template → concat expression. IRI mode %-encodes each placeholder.
+    A NULL placeholder nulls the whole term (concat null-propagation ==
+    the reference's NaN rule at pyrml_api.py:432-434). ``%eval:fun(...)%``
+    segments splice in registry-compiled function calls (T14); like the
+    reference, eval results are inserted verbatim (irify-only, no
+    %-encoding — Funz.eval at pyrml_api.py:119-130)."""
+    from .template_expr import EVAL_RE, parse_eval
+
+    parts: List[Column] = []
+    cursor = 0
+    for m in EVAL_RE.finditer(template):
+        if m.start() > cursor:
+            parts.extend(
+                _plain_template_parts(ctx, template[cursor:m.start()], iri_mode)
+            )
+        parts.append(compile_eval_ast(ctx, parse_eval(m.group(1))))
+        cursor = m.end()
+    if cursor < len(template):
+        parts.extend(_plain_template_parts(ctx, template[cursor:], iri_mode))
     if not parts:
         return F.lit("")
-    return F.concat(*parts)
+    return F.concat(*[p.cast("string") for p in parts]) if len(parts) > 1 \
+        else parts[0].cast("string")
 
 
 def raw_value(ctx: CompileCtx, tm: TermMap) -> Column:
