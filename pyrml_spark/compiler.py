@@ -87,7 +87,7 @@ class RMLCompiler:
         search_roots: Optional[List[str]] = None,
         functions=None,
         broadcast_threshold: int = 64 << 20,
-        cache_shared_sources: bool = True,
+        salt_joins: int = 0,
     ):
         self.spark = spark
         self.plan = plan
@@ -98,7 +98,9 @@ class RMLCompiler:
             functions = default_registry()
         self.functions = functions
         self.broadcast_threshold = broadcast_threshold
-        self.cache_shared_sources = cache_shared_sources
+        # explicit salting for pathological skew; AQE skew-join covers the
+        # general case (SURVEY.md §4, north_rule skew requirement)
+        self.salt_joins = salt_joins
 
     # -- source handling -----------------------------------------------------
     def _source_df(self, tm: TriplesMap) -> DataFrame:
@@ -315,11 +317,24 @@ class RMLCompiler:
             c = left.eqNullSafe(right) & left.isNotNull()
             cond = c if cond is None else (cond & c)
 
-        # project the parent side down to join keys + subject-map inputs before
-        # the join (helps the broadcast fit and the shuffle stay narrow)
         right = parent_sel
-        if self._parent_is_small(parent_tm):
+        parent_small = self._parent_is_small(parent_tm)
+        if parent_small:
             right = F.broadcast(right)
+        elif self.salt_joins > 1:
+            # celebrity-key salting: child rows spread over salt buckets
+            # (deterministic hash, resumable), parent replicated per bucket
+            salt = self.salt_joins
+            df = df.withColumn(
+                "__salt_l",
+                F.pmod(F.xxhash64(*[F.col("`" + c.replace("`", "``") + "`")
+                                    for c in df.columns]),
+                       F.lit(salt)).cast("int"),
+            )
+            right = right.withColumn(
+                "__salt_r", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+            )
+            cond = cond & (F.col("__salt_l") == F.col("__salt_r"))
         joined = df.join(right, cond, "inner")
         return self._emit(joined, s_col, p_cols, o_col, graphs)
 
