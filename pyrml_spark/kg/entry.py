@@ -34,15 +34,14 @@ def kg_canonical_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    with tempfile.TemporaryDirectory(prefix="kg_entry_") as d:
-        df = run_pipeline(
-            spark, d,
-            KGPipelineConfig(n_docs=_N_DOCS_CHECK, use_pandas_extractor=False),
-        )
-        # materialize before the checkpoint dir disappears
-        out = df.select("s", "p", "o", "g").cache()
-        out.count()
-        return out
+    # mkdtemp (not TemporaryDirectory): the checkpoint parquet must outlive
+    # this call — the driver re-reads the returned DataFrame lazily
+    d = tempfile.mkdtemp(prefix="kg_entry_")
+    df = run_pipeline(
+        spark, d,
+        KGPipelineConfig(n_docs=_N_DOCS_CHECK, use_pandas_extractor=False),
+    )
+    return df.select("s", "p", "o", "g")
 
 
 KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -22,6 +22,7 @@ from .similarity import (
     embedding_cosine_neardup,
 )
 from .multimodal import media_features
+from .sessions import ORACLE_SESSIONIZE, events_sessionize
 from .textstats import (
     ORACLE_FINGERPRINT,
     ORACLE_LANG_ID,
@@ -53,6 +54,7 @@ OPS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_count": text_token_count,
     "doc_fingerprint": doc_fingerprint,
     "media_features": media_features,
+    "events_sessionize": events_sessionize,
 }
 
 # minhash/simhash banding and LSH buckets use seeded xxhash64 /
@@ -66,4 +68,5 @@ OPS_ORACLES: Dict[str, str] = {
     "text_quality_score": ORACLE_QUALITY,
     "text_token_count": ORACLE_TOKEN_COUNT,
     "doc_fingerprint": ORACLE_FINGERPRINT,
+    "events_sessionize": ORACLE_SESSIONIZE,
 }

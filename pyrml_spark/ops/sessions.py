@@ -1,0 +1,55 @@
+"""Event sessionization over the `events` stream table — gap-based sessions
+via window functions (lag → gap flag → running sum). One shuffle on user_id;
+the standard clickstream/session shape a training-data pipeline uses for
+behavioral corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+GAP_MINUTES = 30
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str,
+                      gap_minutes: int = GAP_MINUTES) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        (F.unix_timestamp("ts")
+         - F.unix_timestamp(F.lag("ts").over(w))) > gap_minutes * 60,
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", F.coalesce(gap, F.lit(0)))
+        .withColumn("session_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {GAP_MINUTES * 60}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, session_id
+"""
