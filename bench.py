@@ -23,7 +23,7 @@ from pyspark.sql import SparkSession
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "200000"))
+KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "100000"))
 
 HEADLINE = [
     "rml_customer_terms",

@@ -43,8 +43,8 @@ from .lineage import StageRunner, fingerprint
 class KGPipelineConfig:
     n_docs: int = 10_000
     use_pandas_extractor: bool = True
-    n_subject_buckets: int = 64
-    output_partitions: int = 0          # 0 = leave to AQE
+    n_subject_buckets: int = 32
+    output_partitions: int = 0          # 0 = one file per bucket
     cc_max_iter: int = 25
 
 
@@ -106,8 +106,12 @@ def run_pipeline(
             "subject_bucket",
             F.pmod(F.xxhash64("s"), F.lit(config.n_subject_buckets)).cast("int"),
         )
-        if config.output_partitions:
-            out = out.repartition(config.output_partitions, "subject_bucket")
+        # cluster rows by bucket before partitionBy: without this every task
+        # writes into every bucket dir (tasks × buckets small files)
+        out = out.repartition(
+            config.output_partitions or config.n_subject_buckets,
+            "subject_bucket",
+        )
         return out
 
     return runner.run(

@@ -49,19 +49,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_SHINGLE_DF = 100  # document-frequency cap on join-key shingles
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
-                        threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs.
+                        threshold: float = 0.8,
+                        max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """n-gram Jaccard near-dup pairs over rare shingles.
 
     Inverted-index join: explode distinct shingles, self-join on the shingle
-    (co-occurrence count = |A∩B|), then J = |∩|/(|A|+|B|-|∩|). The join key
-    is the shingle — at 100 TB this is the standard candidate-generation
-    shuffle; hot shingles (stopword n-grams) would be dropped by a document-
-    frequency cap in a production config (kept exact here for the oracle).
-    """
+    (co-occurrence count = |A∩B|), then J = |∩|/(|A|+|B|-|∩|). Shingles with
+    document frequency > ``max_df`` are dropped on BOTH the candidate and the
+    denominator side (standard stopword-shingle filtering): a hot shingle key
+    turns the self-join into an O(df²) blowup — the cap bounds every join
+    bucket, and the oracle applies the identical cap."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = docs.select(
+    sh_all = docs.select(
         "doc_id", F.explode(_word_shingles(F.col("text"))).alias("shingle")
+    )
+    df_counts = sh_all.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df"))
+    sh = sh_all.join(
+        F.broadcast(df_counts.filter(F.col("df") <= max_df).select("shingle")),
+        "shingle",
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
@@ -93,15 +103,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     return out
 
 
-ORACLE_NGRAM_JACCARD = """
+ORACLE_NGRAM_JACCARD = f"""
 WITH toks AS (
   SELECT doc_id, string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS t
   FROM documents
 ),
-sh AS (
+sh_all AS (
   SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
   FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
 ),
+rare AS (
+  SELECT shingle FROM sh_all GROUP BY shingle
+  HAVING count(*) <= {MAX_SHINGLE_DF}
+),
+sh AS (SELECT sh_all.* FROM sh_all JOIN rare USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common

@@ -102,16 +102,25 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str,
     """All-pairs cosine near-duplicates above a threshold.
 
     Exact at test scale (self-join); the 100 TB path is
-    :func:`ann_lsh_buckets` candidates + this as the verify stage."""
+    :func:`ann_lsh_buckets` candidates + this as the verify stage.
+
+    Norms are computed ONCE per vector before the pair join (an earlier
+    version recomputed both norms inside every pair — 3× the expression work
+    on n² pairs); per-pair cost is a single dot product."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a = emb.select(F.col("vec_id").alias("vec_a"),
-                   F.col("embedding").alias("e_a"))
-    b = emb.select(F.col("vec_id").alias("vec_b"),
-                   F.col("embedding").alias("e_b"))
+    normed = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double") / _norm(F.col("embedding")),
+        ).alias("ne"),
+    )
+    a = normed.select(F.col("vec_id").alias("vec_a"), F.col("ne").alias("e_a"))
+    b = normed.select(F.col("vec_id").alias("vec_b"), F.col("ne").alias("e_b"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b",
-                F.round(cosine(F.col("e_a"), F.col("e_b")),
+                F.round(_dot(F.col("e_a"), F.col("e_b")),
                         SIM_DECIMALS).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
