@@ -1,0 +1,74 @@
+"""Drop-in API compatibility with the reference's entry points
+(README.md:28-47 of the reference):
+
+    from pyrml_spark.compat import PyRML
+    mapper = PyRML.get_mapper()
+    triples_df = mapper.convert('mapping.ttl')          # DataFrame[s,p,o,g]
+    mapper.convert_('mapping.ttl', template_vars={...}) # templated batch API
+
+Differences by design: ``convert`` returns a lazy Spark DataFrame instead of
+an rdflib graph (call ``.collect()`` / ``write_nquads`` to materialize);
+``multiprocessed`` is accepted and ignored (the reference's ThreadPool over
+TriplesMaps, pyrml_mapper.py:145-158, is subsumed by Spark task parallelism).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .compiler import convert as _convert
+from .functions.registry import FunctionRegistry, default_registry
+
+
+class RMLConverter:
+    def __init__(self, spark: Optional[SparkSession] = None):
+        self._spark = spark
+        self.functions: FunctionRegistry = default_registry()
+
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
+            from .plans.tuning import build_session
+
+            self._spark = build_session("pyrml_spark_compat")
+        return self._spark
+
+    def convert(self, rml_file: str, multiprocessed: bool = False,
+                template_vars: Optional[dict] = None) -> DataFrame:
+        # multiprocessed accepted for signature parity; Spark parallelizes
+        return _convert(self.spark, rml_file, template_vars=template_vars,
+                        functions=self.functions)
+
+    # templated batch API (reference: RMLConverter.convert_,
+    # pyrml_mapper.py:240-290)
+    def convert_(self, rml_file: str,
+                 template_vars: Optional[dict] = None) -> DataFrame:
+        return _convert(self.spark, rml_file, template_vars=template_vars,
+                        functions=self.functions)
+
+
+class PyRML:
+    """Singleton facade mirroring pyrml_api.PyRML."""
+
+    _mapper: Optional[RMLConverter] = None
+
+    @classmethod
+    def get_mapper(cls, spark: Optional[SparkSession] = None) -> RMLConverter:
+        if cls._mapper is None or spark is not None:
+            cls._mapper = RMLConverter(spark)
+        return cls._mapper
+
+    @classmethod
+    def register_function(cls, fun_id: str, f: Callable,
+                          return_type: str = "string") -> None:
+        cls.get_mapper().functions.register_python(fun_id, f, return_type)
+
+    @classmethod
+    def has_registerd_function(cls, fun_id: str) -> bool:  # sic — reference name
+        return cls.get_mapper().functions.has(fun_id)
+
+    @classmethod
+    def unregister_function(cls, fun_id: str) -> None:
+        cls.get_mapper().functions.unregister(fun_id)

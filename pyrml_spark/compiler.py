@@ -88,6 +88,7 @@ class RMLCompiler:
         functions=None,
         broadcast_threshold: int = 64 << 20,
         salt_joins: int = 0,
+        irify: bool = False,
     ):
         self.spark = spark
         self.plan = plan
@@ -101,6 +102,9 @@ class RMLCompiler:
         # explicit salting for pathological skew; AQE skew-join covers the
         # general case (SURVEY.md §4, north_rule skew requirement)
         self.salt_joins = salt_joins
+        # PyRML.IRIFY equivalent (default False like the reference,
+        # pyrml_api.py:703)
+        self.irify = irify
 
     # -- source handling -----------------------------------------------------
     def _source_df(self, tm: TriplesMap) -> DataFrame:
@@ -150,6 +154,7 @@ class RMLCompiler:
             columns=df.columns,
             base_iri=self.plan.base_iri,
             functions=self.functions,
+            irify=self.irify,
         )
         branches: List[DataFrame] = []
         for sm in tm.subject_maps:
@@ -305,6 +310,7 @@ class RMLCompiler:
             base_iri=self.plan.base_iri,
             functions=self.functions,
             column_prefix=prefix,
+            irify=self.irify,
         )
         o_col = compile_term(parent_ctx, parent_sm.term_map)
 
@@ -387,6 +393,7 @@ def convert(
     search_roots: Optional[List[str]] = None,
     template_vars: Optional[dict] = None,
     deduplicate: bool = True,
+    functions=None,
 ) -> DataFrame:
     """Public API: mapping document → DataFrame[s,p,o,g].
 
@@ -402,5 +409,5 @@ def convert(
     # reference resolves paths against the process CWD; mappings in the
     # reference repo use paths like "./examples/artists/Artist.csv"
     roots.append(os.getcwd())
-    compiler = RMLCompiler(spark, plan, search_roots=roots)
-    return compiler.compile()
+    compiler = RMLCompiler(spark, plan, search_roots=roots, functions=functions)
+    return compiler.compile(deduplicate=deduplicate)

@@ -50,6 +50,7 @@ class CompileCtx:
     base_iri: Optional[str] = None
     functions: Optional[object] = None           # FunctionRegistry
     column_prefix: str = ""                      # prefix for join-renamed cols
+    irify: bool = False                          # PyRML.IRIFY full slug path
 
 
 # ---------------------------------------------------------------------------
@@ -104,6 +105,30 @@ def escape_angle(col: Column) -> Column:
     """Always-on part of TermUtils.irify (pyrml_api.py:535-537)."""
     return F.replace(F.replace(col, F.lit("<"), F.lit("%3C")),
                      F.lit(">"), F.lit("%3E"))
+
+
+# minimal transliteration table standing in for unidecode (not installed):
+# covers Latin-1 accents; anything further passes through (documented gap)
+_TRANSLIT_SRC = "àáâãäåèéêëìíîïòóôõöùúûüýÿñçÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÑÇ"
+_TRANSLIT_DST = "aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNC"
+
+
+def irify_full(col: Column) -> Column:
+    """The PyRML.IRIFY=True slugification path (pyrml_api.py:500-538):
+    transliterate → lower → strip ' ; , & " ? ! ( ) → space|/ → _ →
+    collapse -/_/| runs → %3C/%3E. Applied only to strings that are not
+    already http(s)/ftp URLs (the reference's URL regex guard)."""
+    url_guard = col.rlike(r"(?i)^(https?|ftps?)://\S+$")
+    s = F.translate(col, _TRANSLIT_SRC, _TRANSLIT_DST)
+    s = F.lower(s)
+    s = F.regexp_replace(s, r"[';,&\"?!]", "")
+    s = F.regexp_replace(s, r"[ /]", "_")
+    s = F.regexp_replace(s, r"[()]", "")
+    s = F.regexp_replace(s, r"-$", "")
+    s = F.regexp_replace(s, r"(-)+", "_")
+    s = F.regexp_replace(s, r"(_)+", "_")
+    s = F.regexp_replace(s, r"(\|)+", "_")
+    return escape_angle(F.when(url_guard, col).otherwise(s))
 
 
 # ---------------------------------------------------------------------------
@@ -270,7 +295,7 @@ def render_value(ctx: CompileCtx, tm: TermMap, raw: Column) -> Column:
         return F.lit(R.to_nt(tm.constant)) if raw is not None else F.lit(None)
 
     if tm.term_type == "iri":
-        val = escape_angle(raw)
+        val = irify_full(raw) if ctx.irify else escape_angle(raw)
         if ctx.base_iri:
             # relative IRI → base + iri (pyrml_mapper.py:164-194)
             val = F.when(

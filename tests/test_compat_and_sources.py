@@ -1,0 +1,110 @@
+"""Compat facade (PyRML.get_mapper), CSVW source, join-less ROM semantics."""
+
+import os
+import tempfile
+
+import pytest
+
+from pyrml_spark import convert
+from pyrml_spark.compat import PyRML
+from pyrml_spark.nquads import df_to_quads
+
+PRELUDE = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix csvw: <http://www.w3.org/ns/csvw#> .
+@prefix ex: <http://ex.com/> .
+"""
+
+
+def write_files(d, files):
+    for name, content in files.items():
+        with open(os.path.join(d, name), "w") as f:
+            f.write(content)
+
+
+def test_compat_convert_and_custom_function(spark):
+    PyRML._mapper = None
+    mapper = PyRML.get_mapper(spark)
+    PyRML.register_function("shout", lambda s: (s or "") + "!")
+    with tempfile.TemporaryDirectory() as d:
+        write_files(d, {
+            "d.csv": "ID,NAME\n1,ada\n",
+            "m.ttl": PRELUDE + """
+            <#M> rml:logicalSource [ rml:source "d.csv" ;
+                                     rml:referenceFormulation ql:CSV ] ;
+              rr:subjectMap [ rr:template "http://ex.com/{ID}" ] ;
+              rr:predicateObjectMap [ rr:predicate ex:loud ;
+                rr:objectMap [ rr:template "%eval:shout('{NAME}')%" ;
+                               rr:termType rr:Literal ] ] .
+            """,
+        })
+        df = mapper.convert(os.path.join(d, "m.ttl"))
+        quads = df_to_quads(df)
+    assert ("<http://ex.com/1>", "<http://ex.com/loud>", '"ada!"', None) in quads
+
+
+def test_csvw_source_with_dialect(spark):
+    with tempfile.TemporaryDirectory() as d:
+        write_files(d, {
+            "d.csv": "ID;NAME\n1;Ada\n",
+            "m.ttl": PRELUDE + """
+            <#M> rml:logicalSource [
+                rml:source [ csvw:url "d.csv" ;
+                             csvw:dialect [ csvw:delimiter ";" ] ] ;
+                rml:referenceFormulation ql:CSV ] ;
+              rr:subjectMap [ rr:template "http://ex.com/{ID}" ] ;
+              rr:predicateObjectMap [ rr:predicate ex:name ;
+                rr:objectMap [ rml:reference "NAME" ] ] .
+            """,
+        })
+        quads = df_to_quads(convert(spark, os.path.join(d, "m.ttl"),
+                                    search_roots=[d]))
+    assert ("<http://ex.com/1>", "<http://ex.com/name>", '"Ada"', None) in quads
+
+
+def test_joinless_rom_same_source(spark):
+    """D6 well-defined case: same logical source ⇒ parent subject expr
+    applied to child rows (pyrml_core.py:1583-1585)."""
+    with tempfile.TemporaryDirectory() as d:
+        write_files(d, {
+            "d.csv": "ID,CODE\n1,A\n2,B\n",
+            "m.ttl": PRELUDE + """
+            <#Child> rml:logicalSource [ rml:source "d.csv" ;
+                                         rml:referenceFormulation ql:CSV ] ;
+              rr:subjectMap [ rr:template "http://ex.com/c/{ID}" ] ;
+              rr:predicateObjectMap [ rr:predicate ex:ref ;
+                rr:objectMap [ rr:parentTriplesMap <#Parent> ] ] .
+            <#Parent> rml:logicalSource [ rml:source "d.csv" ;
+                                          rml:referenceFormulation ql:CSV ] ;
+              rr:subjectMap [ rr:template "http://ex.com/p/{CODE}" ] .
+            """,
+        })
+        quads = df_to_quads(convert(spark, os.path.join(d, "m.ttl"),
+                                    search_roots=[d]))
+    assert ("<http://ex.com/c/1>", "<http://ex.com/ref>",
+            "<http://ex.com/p/A>", None) in quads
+    assert ("<http://ex.com/c/2>", "<http://ex.com/ref>",
+            "<http://ex.com/p/B>", None) in quads
+
+
+def test_joinless_rom_cross_source_raises(spark):
+    """D6 positional-concat quirk (pyrml_core.py:1452-1453) is rejected."""
+    with tempfile.TemporaryDirectory() as d:
+        write_files(d, {
+            "a.csv": "ID\n1\n",
+            "b.csv": "CODE\nA\n",
+            "m.ttl": PRELUDE + """
+            <#Child> rml:logicalSource [ rml:source "a.csv" ;
+                                         rml:referenceFormulation ql:CSV ] ;
+              rr:subjectMap [ rr:template "http://ex.com/c/{ID}" ] ;
+              rr:predicateObjectMap [ rr:predicate ex:ref ;
+                rr:objectMap [ rr:parentTriplesMap <#Parent> ] ] .
+            <#Parent> rml:logicalSource [ rml:source "b.csv" ;
+                                          rml:referenceFormulation ql:CSV ] ;
+              rr:subjectMap [ rr:template "http://ex.com/p/{CODE}" ] .
+            """,
+        })
+        with pytest.raises(NotImplementedError):
+            convert(spark, os.path.join(d, "m.ttl"), search_roots=[d])
