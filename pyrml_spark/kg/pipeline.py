@@ -46,6 +46,7 @@ class KGPipelineConfig:
     n_subject_buckets: int = 32
     output_partitions: int = 0          # 0 = one file per bucket
     cc_max_iter: int = 25
+    collect_partition_lineage: bool = True  # off for pure-throughput benches
 
 
 def run_pipeline(
@@ -56,7 +57,10 @@ def run_pipeline(
 ) -> DataFrame:
     """Returns the final (s,p,o,g,subject_bucket) DataFrame; all stages
     checkpointed under ``work_dir`` with manifest lineage."""
-    runner = StageRunner(spark, work_dir)
+    runner = StageRunner(
+        spark, work_dir,
+        collect_partition_lineage=config.collect_partition_lineage,
+    )
     cfg_fp = fingerprint(
         config.n_docs, config.use_pandas_extractor, config.n_subject_buckets,
         "v1",
@@ -122,3 +126,80 @@ def run_pipeline(
             "graphs": df.select("g").distinct().count(),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# fused mode: one Spark job end-to-end (throughput path)
+# ---------------------------------------------------------------------------
+
+DRIVER_UNION_FIND_MAX_EDGES = 5_000_000
+
+
+def _driver_union_find(edges_rows) -> list:
+    """Union-find on the driver for small edge sets (scale-aware shortcut:
+    the distributed min-label loop pays several job round-trips per
+    iteration, which dominates when the edge list fits in driver memory —
+    the canonical label is still the component's lexicographic min)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for src, dst in edges_rows:
+        nodes.add(src)
+        nodes.add(dst)
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            # keep the lexicographic min as the root (matches the
+            # distributed algorithm's labels)
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in sorted(nodes)]
+
+
+def run_pipeline_fused(
+    spark: SparkSession,
+    out_dir: str,
+    config: KGPipelineConfig = KGPipelineConfig(),
+) -> DataFrame:
+    """Same logical pipeline as :func:`run_pipeline` but fused into one
+    lazy DAG with a single partitioned write: mentions are persisted in
+    memory (consumed by both the edge derivation and the triple build), the
+    canonical mapping is computed with driver union-find when the edge set
+    is small (broadcast back as a mapping table), and no intermediate
+    parquet checkpoints are written.
+
+    Use for throughput benching / one-shot runs; use :func:`run_pipeline`
+    when stage-level resumability and lineage are required. Results are
+    identical (tests assert it)."""
+    from .extract import (media_spans, media_triples, mention_triples,
+                          mentions_native, mentions_pandas,
+                          sameas_candidates)
+
+    docs = generate_documents(spark, config.n_docs)
+    extractor = mentions_pandas if config.use_pandas_extractor else mentions_native
+    mentions = extractor(docs).persist()
+    edges = sameas_candidates(mentions)
+    edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]
+    if len(edge_rows) <= DRIVER_UNION_FIND_MAX_EDGES:
+        pairs = _driver_union_find(edge_rows)
+        mapping = spark.createDataFrame(pairs, ["entity", "canonical"])
+    else:  # pragma: no cover - exercised only at true scale
+        mapping = canonical_mapping(edges, max_iter=config.cc_max_iter)
+    raw = mention_triples(mentions).unionByName(
+        media_triples(media_spans(docs)))
+    canon = rewrite_entities(raw, mapping).unionByName(sameas_triples(mapping))
+    out = canon.dropDuplicates(["s", "p", "o", "g"]).withColumn(
+        "subject_bucket",
+        F.pmod(F.xxhash64("s"), F.lit(config.n_subject_buckets)).cast("int"),
+    ).repartition(config.output_partitions or config.n_subject_buckets,
+                  "subject_bucket")
+    out.write.mode("overwrite").partitionBy("subject_bucket").parquet(out_dir)
+    mentions.unpersist()
+    return spark.read.parquet(out_dir)

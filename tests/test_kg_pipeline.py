@@ -137,3 +137,16 @@ def test_pipeline_no_orphan_aliases(spark):
             & (F.col("s").endswith("_aka>") | F.col("s").endswith("_aka2>"))
         ).count()
         assert leftovers == 0
+
+
+def test_fused_pipeline_matches_checkpointed(spark):
+    from pyrml_spark.kg.pipeline import run_pipeline_fused
+
+    cfg = KGPipelineConfig(n_docs=N_DOCS, use_pandas_extractor=False)
+    with tempfile.TemporaryDirectory() as d1, \
+            tempfile.TemporaryDirectory() as d2:
+        a = {tuple(r) for r in run_pipeline(spark, d1, cfg)
+             .select("s", "p", "o", "g").collect()}
+        b = {tuple(r) for r in run_pipeline_fused(spark, d2 + "/out", cfg)
+             .select("s", "p", "o", "g").collect()}
+    assert a == b and len(a) > 0
