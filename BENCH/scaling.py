@@ -29,37 +29,47 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
 from pyrml_spark.kg.pipeline import KGPipelineConfig, run_pipeline_fused
 
-cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); reps = int(sys.argv[3])
 spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .appName(f"kg_scaling_{{cpus}}")
-         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+         .config("spark.sql.shuffle.partitions", "64")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.driver.memory", os.environ.get("SPARK_BENCH_MEM", "48g"))
+         .config("spark.driver.extraJavaOptions",
+                 f"-XX:ActiveProcessorCount={{cpus}}")
+         .config("spark.local.dir", "/dev/shm/spark_local_scaling")
          .config("spark.ui.enabled", "false")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 best = None
-for rep in range(2):
+for rep in range(reps):
     with tempfile.TemporaryDirectory(prefix=f"kg_scale_{{cpus}}_") as d:
         t0 = time.time()
         out = run_pipeline_fused(spark, d + "/out", KGPipelineConfig(
-            n_docs=n_docs, use_pandas_extractor=True))
+            n_docs=n_docs, use_pandas_extractor=True, gen_partitions=64,
+            final_repartition=False))
         n = out.count()
         dt = time.time() - t0
     if best is None or dt < best:
         best = dt
 dt = best
+# single-thread calibration loop: documents host-contention state
+t0 = time.time(); x = 0
+for i in range(20_000_000):
+    x += i * i
+calib = round(time.time() - t0, 2)
 print(json.dumps({{"cpus": cpus, "n_docs": n_docs, "triples": n,
                    "elapsed_sec": round(dt, 3),
-                   "triples_per_sec": round(n / dt, 1)}}))
+                   "triples_per_sec": round(n / dt, 1),
+                   "calibration_loop_sec": calib}}))
 """
 
 
-def run_level(cpus: int, n_docs: int) -> dict:
+def run_level(cpus: int, n_docs: int, reps: int = 1) -> dict:
     script = _WORKER.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(n_docs)],
+        [sys.executable, "-c", script, str(cpus), str(n_docs), str(reps)],
         capture_output=True, text=True, check=True,
     )
     line = out.stdout.strip().splitlines()[-1]
@@ -68,13 +78,21 @@ def run_level(cpus: int, n_docs: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=300_000)
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--docs", type=int, default=800_000)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
     args = ap.parse_args()
 
-    low = run_level(args.low, args.docs)
-    high = run_level(args.high, args.docs)
+    # alternate levels across reps to cancel host-load drift; keep best
+    low = high = None
+    for _ in range(args.reps):
+        l = run_level(args.low, args.docs, 1)
+        h = run_level(args.high, args.docs, 1)
+        if low is None or l["elapsed_sec"] < low["elapsed_sec"]:
+            low = l
+        if high is None or h["elapsed_sec"] < high["elapsed_sec"]:
+            high = h
     ratio = args.high / args.low
     efficiency = (high["triples_per_sec"] / low["triples_per_sec"]) / ratio
     result = {

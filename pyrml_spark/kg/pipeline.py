@@ -47,6 +47,10 @@ class KGPipelineConfig:
     output_partitions: int = 0          # 0 = one file per bucket
     cc_max_iter: int = 25
     collect_partition_lineage: bool = True  # off for pure-throughput benches
+    gen_partitions: int = 0                 # fixed datagen partitioning (benches)
+    final_repartition: bool = True          # False: skip the bucket exchange
+                                            # (fused bench path; dedup's own
+                                            # shuffle already colocates rows)
 
 
 def run_pipeline(
@@ -182,7 +186,8 @@ def run_pipeline_fused(
                           mentions_native, mentions_pandas,
                           sameas_candidates)
 
-    docs = generate_documents(spark, config.n_docs)
+    docs = generate_documents(spark, config.n_docs,
+                              partitions=config.gen_partitions)
     extractor = mentions_pandas if config.use_pandas_extractor else mentions_native
     mentions = extractor(docs).persist()
     edges = sameas_candidates(mentions)
@@ -198,8 +203,11 @@ def run_pipeline_fused(
     out = canon.dropDuplicates(["s", "p", "o", "g"]).withColumn(
         "subject_bucket",
         F.pmod(F.xxhash64("s"), F.lit(config.n_subject_buckets)).cast("int"),
-    ).repartition(config.output_partitions or config.n_subject_buckets,
-                  "subject_bucket")
+    )
+    if config.final_repartition:
+        out = out.repartition(
+            config.output_partitions or config.n_subject_buckets,
+            "subject_bucket")
     out.write.mode("overwrite").partitionBy("subject_bucket").parquet(out_dir)
     mentions.unpersist()
     return spark.read.parquet(out_dir)

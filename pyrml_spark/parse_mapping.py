@@ -298,13 +298,15 @@ class _Builder:
         if term_type is None:
             if position in ("subject", "predicate", "graph"):
                 term_type = "iri"
-            elif reference is not None or datatype or language or language_map \
-                    or fn_node is not None:
-                term_type = "literal"
             elif constant is not None:
                 term_type = "literal" if constant[0] == "literal" else "iri"
             else:
-                term_type = "iri"  # template object default (R2RML §7.4)
+                # objects default to Literal for template/reference/function
+                # maps alike — the reference's behavior (pyrml_core.py:241:
+                # "term_type is None or LITERAL" ⇒ literal), which diverges
+                # from R2RML §7.4 (template ⇒ IRI) for templates; mappings
+                # exercising this: rml_con_creazione_ontologia.ttl:21-25
+                term_type = "literal"
 
         if fn_node is not None:
             return TermMap(kind="function",

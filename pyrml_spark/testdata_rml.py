@@ -54,7 +54,8 @@ _CUSTOMER_MAP = """
   rr:predicateObjectMap [ rr:predicate ex:mktsegment ;
     rr:objectMap [ rml:reference "c_mktsegment" ] ] ;
   rr:predicateObjectMap [ rr:predicate ex:nation ;
-    rr:objectMap [ rr:template "http://ex.com/nation/{c_nationkey}" ] ] ;
+    rr:objectMap [ rr:template "http://ex.com/nation/{c_nationkey}" ;
+                   rr:termType rr:IRI ] ] ;
   rr:predicateObjectMap [ rr:predicate ex:acctbal ;
     rr:objectMap [ rml:reference "c_acctbal" ; rr:datatype xsd:decimal ] ] .
 """
@@ -135,7 +136,8 @@ _CONDITION_MAP = """
   crml:condition "df['event_type'] == 'error'" ;
   rr:subjectMap [ rr:template "http://ex.com/event/{event_id}" ] ;
   rr:predicateObjectMap [ rr:predicate ex:user ;
-    rr:objectMap [ rr:template "http://ex.com/user/{user_id}" ] ] .
+    rr:objectMap [ rr:template "http://ex.com/user/{user_id}" ;
+                   rr:termType rr:IRI ] ] .
 """
 
 
@@ -195,7 +197,8 @@ _QUADS_MAP = """
   rr:predicateObjectMap [ rr:predicate ex:name ;
     rr:objectMap [ rml:reference "s_name" ] ] ;
   rr:predicateObjectMap [ rr:predicate ex:nation ;
-    rr:objectMap [ rr:template "http://ex.com/nation/{s_nationkey}" ] ;
+    rr:objectMap [ rr:template "http://ex.com/nation/{s_nationkey}" ;
+                   rr:termType rr:IRI ] ;
     rr:graph ex:supplier_nations ] .
 """
 

@@ -184,3 +184,36 @@ def test_rmltc0015b_language_maps(spark):
         got = df_to_quads(df)
     p, r = precision_recall(got, golden, ignore_graph=True)
     assert r >= 0.95 and p >= 0.95, (sorted(got), sorted(golden))
+
+
+def test_ontology_generation_mapping(spark):
+    """rml_con_creazione_ontologia.ttl: 8 TriplesMaps over shared external
+    logical-source nodes; rr:template used as a literal object (the
+    reference's object-default-is-Literal semantics, pyrml_core.py:241)."""
+    df = convert(
+        spark,
+        os.path.join(REF, "rml_con_creazione_ontologia.ttl"),
+        search_roots=[REF],
+    )
+    got = triples(df)
+    assert (
+        "<https://w3id.org/test/my-ontology/>",
+        "<http://www.w3.org/2000/01/rdf-schema#label>",
+        '"Exercise on knowledge graphs"',
+    ) in got
+    assert (
+        "<https://w3id.org/italia/onto/CPV/Person>",
+        RDF_TYPE,
+        "<http://www.w3.org/2002/07/owl#Class>",
+    ) in got
+    # rdf:type via explicit POM constant (not rr:class)
+    assert (
+        "<http://stlab.istc.cnr.it/RTM19>",
+        RDF_TYPE,
+        "<https://w3id.org/italia/onto/CPV/Person>",
+    ) in got
+    assert (
+        "<http://stlab.istc.cnr.it/1>",
+        "<http://www.w3.org/2000/01/rdf-schema#label>",
+        '"Columbus, Ohio, U.S."',
+    ) in got
