@@ -42,6 +42,11 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .config("spark.ui.enabled", "false")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
+# untimed warmup: JIT/codegen/python-worker spin-up happen once per JVM
+with tempfile.TemporaryDirectory(prefix="kg_warm_") as wd:
+    run_pipeline_fused(spark, wd + "/out", KGPipelineConfig(
+        n_docs=20000, use_pandas_extractor=True, gen_partitions=64,
+        final_repartition=False))
 best = None
 for rep in range(reps):
     with tempfile.TemporaryDirectory(prefix=f"kg_scale_{{cpus}}_") as d:
@@ -78,10 +83,10 @@ def run_level(cpus: int, n_docs: int, reps: int = 1) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=800_000)
-    ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--low", type=int, default=2)
-    ap.add_argument("--high", type=int, default=8)
+    ap.add_argument("--docs", type=int, default=400_000)
+    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--low", type=int, default=1)
+    ap.add_argument("--high", type=int, default=4)
     args = ap.parse_args()
 
     # alternate levels across reps to cancel host-load drift; keep best

@@ -187,7 +187,7 @@ def run_pipeline_fused(
                           sameas_candidates)
 
     docs = generate_documents(spark, config.n_docs,
-                              partitions=config.gen_partitions)
+                              partitions=config.gen_partitions).persist()
     extractor = mentions_pandas if config.use_pandas_extractor else mentions_native
     mentions = extractor(docs).persist()
     edges = sameas_candidates(mentions)
@@ -210,4 +210,5 @@ def run_pipeline_fused(
             "subject_bucket")
     out.write.mode("overwrite").partitionBy("subject_bucket").parquet(out_dir)
     mentions.unpersist()
+    docs.unpersist()
     return spark.read.parquet(out_dir)
