@@ -80,8 +80,14 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
-    # KG pipeline throughput (triples/sec end-to-end, fresh checkpoint dir)
-    from pyrml_spark.kg.pipeline import KGPipelineConfig, run_pipeline
+    # KG pipeline throughput (triples/sec end-to-end):
+    # checkpointed/resumable mode + fused single-write mode (same results,
+    # tests assert equality)
+    from pyrml_spark.kg.pipeline import (
+        KGPipelineConfig,
+        run_pipeline,
+        run_pipeline_fused,
+    )
 
     with tempfile.TemporaryDirectory(prefix="kg_bench_") as d:
         t0 = time.time()
@@ -94,6 +100,19 @@ def main() -> None:
     timings["kg_pipeline"] = kg_dt
     total += kg_dt
 
+    with tempfile.TemporaryDirectory(prefix="kg_bench_f_") as d:
+        t0 = time.time()
+        out = run_pipeline_fused(
+            spark, d + "/out",
+            KGPipelineConfig(n_docs=KG_DOCS, use_pandas_extractor=True,
+                             gen_partitions=CPUS * 2,
+                             final_repartition=False),
+        )
+        n_triples_fused = out.count()
+        kg_fused_dt = round(time.time() - t0, 3)
+    timings["kg_pipeline_fused"] = kg_fused_dt
+    total += kg_fused_dt
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline queries + KG pipeline end-to-end",
@@ -104,6 +123,7 @@ def main() -> None:
         "kg_docs": KG_DOCS,
         "kg_triples": n_triples,
         "kg_triples_per_sec": round(n_triples / kg_dt, 1),
+        "kg_triples_per_sec_fused": round(n_triples_fused / kg_fused_dt, 1),
         "cpus": CPUS,
     }))
 

@@ -97,8 +97,11 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+NEARDUP_THRESHOLD = 0.4
+
+
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str,
-                             threshold: float = 0.9) -> DataFrame:
+                             threshold: float = NEARDUP_THRESHOLD) -> DataFrame:
     """All-pairs cosine near-duplicates above a threshold.
 
     Exact at test scale (self-join); the 100 TB path is
@@ -135,7 +138,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.emb, b.emb)
          / (sqrt(list_dot_product(a.emb, a.emb))
-            * sqrt(list_dot_product(b.emb, b.emb))), {SIM_DECIMALS}) >= 0.9
+            * sqrt(list_dot_product(b.emb, b.emb))), {SIM_DECIMALS}) >= {NEARDUP_THRESHOLD}
 """
 
 
