@@ -64,6 +64,10 @@ class CompileError(ValueError):
 
 _FORBIDDEN = re.compile(r"__|;|\beval\b|\bexec\b|\bimport\b|\blambda\b|\bos\b")
 
+# string literals (after df[...] column refs are rewritten) — operator
+# rewrites must not reach inside them ('A&B' is a value, not a conjunction)
+_STR_LIT = re.compile(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")")
+
 
 def translate_condition(cond: str) -> str:
     if _FORBIDDEN.search(cond):
@@ -71,9 +75,11 @@ def translate_condition(cond: str) -> str:
     s = re.sub(r"df\[\s*'([^']+)'\s*\]", lambda m: f"`{m.group(1)}`", cond)
     s = re.sub(r'df\[\s*"([^"]+)"\s*\]', lambda m: f"`{m.group(1)}`", s)
     s = re.sub(r"\bdf\.([A-Za-z_]\w*)", lambda m: f"`{m.group(1)}`", s)
-    s = s.replace("&", " AND ").replace("|", " OR ")
-    s = re.sub(r"~\s*", " NOT ", s)
-    return s
+    parts = _STR_LIT.split(s)
+    for i in range(0, len(parts), 2):  # odd indexes are quoted literals
+        p = parts[i].replace("&", " AND ").replace("|", " OR ")
+        parts[i] = re.sub(r"~\s*", " NOT ", p)
+    return "".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -242,9 +248,19 @@ class RMLCompiler:
                 for p_col in p_cols:
                     for g in graphs:
                         if is_array:
-                            # multi-valued fan-out: one (p,o,g) per element
+                            # multi-valued fan-out: one (p,o,g) per element.
+                            # NULL input ⇒ NULL element array — flatten() of an
+                            # array containing a NULL is NULL, which would drop
+                            # EVERY pair for the row (incl. rr:class and other
+                            # POMs); coalesce to empty so only the affected
+                            # object map contributes nothing (the reference
+                            # drops only that triple)
                             pair_arrays.append(
-                                F.transform(raw_col, _elem_pair_fn(otm, p_col, g))
+                                F.coalesce(
+                                    F.transform(raw_col,
+                                                _elem_pair_fn(otm, p_col, g)),
+                                    F.array().cast(f"array<{_PAIR_STRUCT}>"),
+                                )
                             )
                         elif raw_col is not None:
                             o_col = render_value(ctx, otm, raw_col)

@@ -20,8 +20,25 @@ _N_DOCS_CHECK = 300
 
 
 def kg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The north-rule input table itself (deterministic synthesis)."""
-    return generate_documents(spark, _N_DOCS_CHECK)
+    """The north-rule input table itself (deterministic synthesis).
+
+    Returned flattened (one row per span, scalar columns only): the driver's
+    canonicalizer sorts with pandas, which cannot hash/sort an
+    array<struct<…>> column (round-1 harness crash). Span-sequence equality
+    with the nested form is pytest-verified in tests/test_kg_pipeline.py."""
+    from pyspark.sql import functions as F
+
+    docs = generate_documents(spark, _N_DOCS_CHECK)
+    return docs.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).select(
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
 
 
 def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,6 +58,7 @@ def run_pipeline(
     work_dir: str,
     config: KGPipelineConfig = KGPipelineConfig(),
     documents: Optional[DataFrame] = None,
+    input_tag: Optional[str] = None,
 ) -> DataFrame:
     """Returns the final (s,p,o,g,subject_bucket) DataFrame; all stages
     checkpointed under ``work_dir`` with manifest lineage."""
@@ -70,13 +71,21 @@ def run_pipeline(
         "v1",
     )
 
-    docs_fp = fingerprint("docs", cfg_fp)
     if documents is None:
+        docs_fp = fingerprint("docs", cfg_fp)
         docs = runner.run(
             "documents", docs_fp,
             lambda: generate_documents(spark, config.n_docs),
         )
     else:
+        # external input: mix an identity of the DataFrame into the
+        # fingerprint, else stage fingerprints collide across different
+        # caller-supplied inputs and resume would reuse stale checkpoints.
+        # Caller may pass input_tag for a stable, resumable identity;
+        # default is the plan's analyzed string (content-structural, changes
+        # whenever the input expression changes).
+        tag = input_tag or documents._jdf.queryExecution().analyzed().toString()
+        docs_fp = fingerprint("docs-ext", cfg_fp, tag)
         docs = documents
 
     extractor = mentions_pandas if config.use_pandas_extractor else mentions_native
@@ -190,9 +199,13 @@ def run_pipeline_fused(
                               partitions=config.gen_partitions).persist()
     extractor = mentions_pandas if config.use_pandas_extractor else mentions_native
     mentions = extractor(docs).persist()
-    edges = sameas_candidates(mentions)
-    edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]
-    if len(edge_rows) <= DRIVER_UNION_FIND_MAX_EDGES:
+    edges = sameas_candidates(mentions).persist()
+    # size gate BEFORE any collect: limit(MAX+1).count() proves the set fits
+    # (or doesn't) without ever shipping an over-threshold edge list to the
+    # driver — collecting first would be the OOM itself at real scale
+    probe = edges.limit(DRIVER_UNION_FIND_MAX_EDGES + 1).count()
+    if probe <= DRIVER_UNION_FIND_MAX_EDGES:
+        edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]
         pairs = _driver_union_find(edge_rows)
         mapping = spark.createDataFrame(pairs, ["entity", "canonical"])
     else:  # pragma: no cover - exercised only at true scale
@@ -209,6 +222,7 @@ def run_pipeline_fused(
             config.output_partitions or config.n_subject_buckets,
             "subject_bucket")
     out.write.mode("overwrite").partitionBy("subject_bucket").parquet(out_dir)
+    edges.unpersist()
     mentions.unpersist()
     docs.unpersist()
     return spark.read.parquet(out_dir)

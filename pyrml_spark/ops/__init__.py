@@ -17,9 +17,12 @@ from .dedup import (
 from .similarity import (
     ORACLE_ANN_TOPK,
     ORACLE_COSINE_NEARDUP,
+    ORACLE_LSH_NEARDUP,
     ann_cosine_topk,
     ann_lsh_buckets,
+    ann_lsh_neardup,
     embedding_cosine_neardup,
+    lsh_cosine_neardup,
 )
 from .multimodal import media_features
 from .sessions import ORACLE_SESSIONIZE, events_sessionize
@@ -49,6 +52,7 @@ OPS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_cosine_neardup": embedding_cosine_neardup,
     "ann_lsh_buckets": ann_lsh_buckets,
+    "ann_lsh_neardup": ann_lsh_neardup,
     "text_lang_id": text_lang_id,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
@@ -64,6 +68,7 @@ OPS_ORACLES: Dict[str, str] = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "embedding_cosine_neardup": ORACLE_COSINE_NEARDUP,
+    "ann_lsh_neardup": ORACLE_LSH_NEARDUP,
     "text_lang_id": ORACLE_LANG_ID,
     "text_quality_score": ORACLE_QUALITY,
     "text_token_count": ORACLE_TOKEN_COUNT,

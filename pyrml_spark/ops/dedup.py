@@ -69,10 +69,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     )
     df_counts = sh_all.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df"))
-    sh = sh_all.join(
-        F.broadcast(df_counts.filter(F.col("df") <= max_df).select("shingle")),
-        "shingle",
-    )
+    # broadcast the HOT set (df > cap), not the rare set: at corpus scale the
+    # rare side ≈ all distinct shingles (billions — broadcasting it OOMs every
+    # executor), while the hot set is small by construction (few shingles can
+    # exceed a df cap). Keep-everything-not-hot is a broadcast anti-join.
+    hot = df_counts.filter(F.col("df") > max_df).select("shingle")
+    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -25,11 +25,18 @@ def events_sessionize(spark: SparkSession, sf_dir: str,
         .withColumn("session_id", F.sum("new_sess").over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
     )
+    # sum as decimal(38,9): double addition is order-sensitive and Spark's
+    # partition order differs from the oracle's scan order — the last rounded
+    # digit flipped on some groups (round-1 red row). Fixed-point addition is
+    # exact/commutative, so the aggregate is partition-order independent; the
+    # oracle mirrors the cast (double→VARCHAR→DECIMAL matches Spark's
+    # double→decimal string-roundtrip semantics).
     return (
         sess.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(38,9)")), 6)
+            .cast("double").alias("total_value"),
         )
     )
 
@@ -50,6 +57,7 @@ s AS (
 )
 SELECT user_id, session_id,
        count(*) AS n_events,
-       round(sum(value), 6) AS total_value
+       CAST(round(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,9))), 6)
+            AS DOUBLE) AS total_value
 FROM s GROUP BY user_id, session_id
 """

@@ -98,33 +98,104 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 NEARDUP_THRESHOLD = 0.4
+BLOCK_ROWS = 512            # target vectors per block (test scale; at 100 TB
+                            # size so a block pair's two matrices fit a task)
 
 
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str,
-                             threshold: float = NEARDUP_THRESHOLD) -> DataFrame:
-    """All-pairs cosine near-duplicates above a threshold.
+                             threshold: float = NEARDUP_THRESHOLD,
+                             block_rows: int = BLOCK_ROWS) -> DataFrame:
+    """EXACT all-pairs cosine near-duplicates above a threshold, as a
+    block-partitioned distributed matrix product — no BroadcastNestedLoopJoin.
 
-    Exact at test scale (self-join); the 100 TB path is
-    :func:`ann_lsh_buckets` candidates + this as the verify stage.
+    Round 1 used a non-equi self-join (``vec_a < vec_b``) which compiles to a
+    cartesian BNLJ with a per-pair ``zip_with/aggregate`` dot product — the
+    bench's 381 s scale-killer. Why not LSH candidates instead? At θ=0.4 the
+    sign-LSH collision probability is 1-arccos(0.4)/π ≈ 0.631 per bit vs 0.5
+    for unrelated pairs (Goemans–Williamson), so no (bands, bits) choice gives
+    near-exact recall with sub-quadratic candidate volume — exactness at a
+    *low* threshold fundamentally requires examining all pairs. The scalable
+    exact design is the classic block nested-loop done right:
 
-    Norms are computed ONCE per vector before the pair join (an earlier
-    version recomputed both norms inside every pair — 3× the expression work
-    on n² pairs); per-pair cost is a single dot product."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    normed = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: x.cast("double") / _norm(F.col("embedding")),
-        ).alias("ne"),
+      * each vector → deterministic block ``pmod(xxhash64(vec_id), B)``
+      * tiny (blk_a ≤ blk_b) pair table broadcast-joined against both sides
+        (replication factor B per side — O(n·B) shuffled bytes, not O(n²))
+      * cogrouped ``applyInPandas`` computes each block-pair's sims as ONE
+        numpy/BLAS matmul (Arrow-batched, no per-pair expression overhead)
+      * pandas-side pre-filter at threshold−ε keeps the UDF output linear in
+        the result size; the exact round+filter runs JVM-side to mirror the
+        oracle bit-for-bit.
+
+    O(n²/P) work spread over B(B+1)/2 independent tasks; for true *near-dup*
+    thresholds (≥0.8) use :func:`lsh_cosine_neardup`, which prunes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _blocked(n_blocks: int) -> DataFrame:
+        # fresh scan per side: the cogroup's two inputs must not share a
+        # dataset lineage or Spark's ambiguous-self-join check rejects the plan
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+            .alias("blk"),
+        )
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    n_blocks = max(1, -(-n // block_rows))
+    pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    left = (
+        _blocked(n_blocks)
+        .join(F.broadcast(spark.createDataFrame(pair_rows,
+                                                "blk_a int, blk_b int")),
+              F.col("blk") == F.col("blk_a"))
+        .select("blk_a", "blk_b", "vec_id", "embedding")
     )
-    a = normed.select(F.col("vec_id").alias("vec_a"), F.col("ne").alias("e_a"))
-    b = normed.select(F.col("vec_id").alias("vec_b"), F.col("ne").alias("e_b"))
+    right = (
+        _blocked(n_blocks)
+        .join(F.broadcast(spark.createDataFrame(pair_rows,
+                                                "blk_a int, blk_b int")),
+              F.col("blk") == F.col("blk_b"))
+        .select("blk_a", "blk_b", "vec_id", "embedding")
+    )
+
+    # margin below which rounding to SIM_DECIMALS could still reach threshold
+    eps = 0.5 * 10 ** (-SIM_DECIMALS) + 1e-9
+
+    def block_sims(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "sim_raw": pd.Series(dtype="float64")})
+        A = np.stack(lpdf["embedding"].to_numpy())
+        B = np.stack(rpdf["embedding"].to_numpy())
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        sims = (A @ B.T) / np.outer(na, nb)
+        ida = lpdf["vec_id"].to_numpy()
+        idb = rpdf["vec_id"].to_numpy()
+        keep = sims >= threshold - eps
+        if key[0] == key[1]:
+            # diagonal block: both sides are the same set — upper triangle
+            keep &= ida[:, None] < idb[None, :]
+        ai, bi = np.nonzero(keep)
+        va, vb = ida[ai], idb[bi]
+        # unordered pair appears in exactly one (blk_a ≤ blk_b) group, but on
+        # off-diagonal groups the smaller id may sit on either side — normalize
+        return pd.DataFrame({"vec_a": np.minimum(va, vb),
+                             "vec_b": np.maximum(va, vb),
+                             "sim_raw": sims[ai, bi]})
+
+    out = (
+        left.groupBy("blk_a", "blk_b")
+        .cogroup(right.groupBy("blk_a", "blk_b"))
+        .applyInPandas(block_sims,
+                       "vec_a long, vec_b long, sim_raw double")
+    )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b",
-                F.round(_dot(F.col("e_a"), F.col("e_b")),
-                        SIM_DECIMALS).alias("sim"))
+        out.select("vec_a", "vec_b",
+                   F.round("sim_raw", SIM_DECIMALS).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
@@ -154,19 +225,155 @@ def _hyperplane(dim: int, h: int) -> list:
     return vals
 
 
+def _signature_bits(emb_col: Column, dim: int, n_bits: int,
+                    first_bit: int = 0) -> Column:
+    """n_bits-bit random-hyperplane sign signature as a long."""
+    bucket = F.lit(0).cast("long")
+    for h in range(n_bits):
+        plane = _hyperplane(dim, first_bit + h)
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        dp = _dot(emb_col, lit_plane)
+        bucket = bucket.bitwiseOR(
+            F.when(dp >= 0, F.lit(1 << h).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return bucket
+
+
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str,
                     dim: int = 64) -> DataFrame:
     """Scale path: random-hyperplane LSH bucketing. Each vector gets a
     HYPERPLANES-bit signature; ANN joins happen within buckets. Output:
     (vec_id, bucket) — candidates = equal buckets. Rows-only check."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    planes = [_hyperplane(dim, h) for h in range(HYPERPLANES)]
-    bits = []
-    for h, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(v) for v in plane])
-        dp = _dot(F.col("embedding"), lit_plane)
-        bits.append(F.when(dp >= 0, F.lit(1 << h)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket.bitwiseOR(b)
-    return emb.select("vec_id", bucket.alias("bucket"))
+    return emb.select(
+        "vec_id",
+        _signature_bits(F.col("embedding"), dim, HYPERPLANES).alias("bucket"),
+    )
+
+
+LSH_NEARDUP_THRESHOLD = 0.9
+LSH_NEARDUP_BANDS = 16
+LSH_NEARDUP_BITS = 8
+
+
+def lsh_cosine_neardup(emb: DataFrame,
+                       threshold: float = LSH_NEARDUP_THRESHOLD,
+                       n_bands: int = LSH_NEARDUP_BANDS,
+                       bits_per_band: int = LSH_NEARDUP_BITS,
+                       dim: int = 64) -> DataFrame:
+    """The 100 TB near-dup operator: LSH-bucket candidate generation + exact
+    cosine verify — :func:`ann_lsh_buckets`' signature scheme wired in as the
+    candidate stage. ``emb`` is any (vec_id, embedding) DataFrame.
+
+    Banding (OR of ``n_bands`` AND-compositions of ``bits_per_band``
+    hyperplane signs): a pair collides in one band with probability
+    ``(1-θ/π)^bits``; across bands, miss = ``(1-p)^bands``. At the default
+    (16 bands × 8 bits, threshold 0.9): a sim-0.98 pair has p_bit≈0.936,
+    per-band p≈0.59, miss ≈ 0.41^16 ≈ 6e-7 — effectively exact recall —
+    while unrelated pairs (sim≈0, p_bit=0.5) collide per band with prob
+    2^-8, so expected candidate volume is 16·n²/2⁹ = n²/32, not n²/2.
+    Candidates meet via an equi-join on (band, signature) — bounded buckets,
+    no all-pairs — then the exact JVM-side dot product verifies (candidates
+    are id-pairs only; vectors re-join after dedup so the band shuffle never
+    carries arrays). Recall vs exact brute force is asserted in
+    tests/test_plan_quality.py / test_oracle_parity.py at test scale.
+
+    For EXACT low-threshold joins (θ=0.4, where LSH cannot prune — see
+    :func:`embedding_cosine_neardup`) use the block-matmul operator instead.
+    """
+    emb = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    banded = emb.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                _signature_bits(F.col("embedding"), dim, bits_per_band,
+                                first_bit=b * bits_per_band).alias("sig"),
+            )
+            for b in range(n_bands)
+        ])).alias("bs"),
+    ).select("vec_id", F.col("bs.band").alias("band"),
+             F.col("bs.sig").alias("sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("e_b"))
+    sim_raw = _dot(F.col("e_a"), F.col("e_b")) / (
+        _norm(F.col("e_a")) * _norm(F.col("e_b")))
+    return (
+        cand.join(ea, "vec_a").join(eb, "vec_b")
+        .select("vec_a", "vec_b",
+                F.round(sim_raw, SIM_DECIMALS).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver entry for the LSH path: the synthetic embeddings' mutual sims cap at
+# ~0.6 (no true near-dups), so the query plants deterministic near-duplicates
+# (last element offset by +0.2 ⇒ sim ≥ 0.979 to the original, while
+# planted↔planted sims stay at background ≤ 0.6 — verified gap) and runs the
+# full LSH-candidates + exact-verify operator over the union. The oracle is
+# the exact brute-force pair set in DuckDB; the LSH parameters give per-pair
+# miss ≈ 6e-7 at the planted sims and recall is deterministically 1.0 on this
+# data (hyperplanes are hash-derived constants; asserted at sf0.001/0.01 in
+# tests/test_oracle_parity.py).
+# ---------------------------------------------------------------------------
+
+PLANT_OFFSET = 1_000_000
+PLANT_MOD = 10
+PLANT_DELTA = 0.2
+
+
+def planted_neardup_corpus(emb: DataFrame) -> DataFrame:
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.filter(F.col("vec_id") % PLANT_MOD == 0).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 1, 63),
+            F.array(F.element_at("embedding", 64) + F.lit(PLANT_DELTA)),
+        ).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
+def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_cosine_neardup(planted_neardup_corpus(emb))
+
+
+ORACLE_LSH_NEARDUP = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+planted AS (
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+         emb[1:63] || [emb[64] + {PLANT_DELTA}] AS emb
+  FROM base WHERE vec_id % {PLANT_MOD} = 0
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb)
+         / (sqrt(list_dot_product(a.emb, a.emb))
+            * sqrt(list_dot_product(b.emb, b.emb))), {SIM_DECIMALS}) AS sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb)
+         / (sqrt(list_dot_product(a.emb, a.emb))
+            * sqrt(list_dot_product(b.emb, b.emb))), {SIM_DECIMALS})
+      >= {LSH_NEARDUP_THRESHOLD}
+"""

@@ -5,7 +5,8 @@ this is the Spark-native continuous-ingest path a production KG needs:
 documents arrive as files (or Kafka at deployment), mention extraction and
 triple expansion run as stateless streaming transforms, and duplicate
 mentions within the watermark window are dropped with
-``withWatermark + dropDuplicates`` (state-bounded).
+``withWatermark + dropDuplicatesWithinWatermark`` (state evicted as the
+watermark advances, so dedup state is bounded).
 
 Canonicalization is iterative (not expressible as a streaming op), so the
 deployment pattern is: stream triples into the bronze (s,p,o,g) table,
@@ -79,7 +80,14 @@ def stream_mentions(docs_stream: DataFrame,
         ).alias("surface"),
     )
     out = persons.unionByName(places)
-    return out.withWatermark("ingest_ts", watermark).dropDuplicates(
+    # dropDuplicatesWithinWatermark: plain dropDuplicates on keys that
+    # exclude the event-time column never expires its state (the watermark
+    # only prunes when event time is part of the key) — state would grow
+    # without bound in a long-running stream. The WithinWatermark variant
+    # evicts dedup state once the watermark passes each key's first-seen
+    # event time, which is the semantics we want: duplicates arrive close
+    # together (re-delivered files), not weeks apart.
+    return out.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
         ["doc_id", "span_idx", "etype", "surface"]
     )
 

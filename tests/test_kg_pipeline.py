@@ -150,3 +150,38 @@ def test_fused_pipeline_matches_checkpointed(spark):
         b = {tuple(r) for r in run_pipeline_fused(spark, d2 + "/out", cfg)
              .select("s", "p", "o", "g").collect()}
     assert a == b and len(a) > 0
+
+
+def test_fused_pipeline_never_collects_over_threshold(spark, tmp_path, monkeypatch):
+    """Scale guard (round-1 ADVICE): when the edge count exceeds
+    DRIVER_UNION_FIND_MAX_EDGES the fused path must go straight to the
+    distributed canonical mapping WITHOUT collecting edges to the driver."""
+    from pyrml_spark.kg import pipeline as P
+
+    monkeypatch.setattr(P, "DRIVER_UNION_FIND_MAX_EDGES", 1)
+
+    def boom(_rows):
+        raise AssertionError("driver union-find must not run over threshold")
+
+    monkeypatch.setattr(P, "_driver_union_find", boom)
+    cfg = P.KGPipelineConfig(n_docs=150, use_pandas_extractor=False)
+    out = P.run_pipeline_fused(spark, str(tmp_path / "out"), cfg)
+    assert out.count() > 0  # distributed path produced the table
+
+
+def test_external_documents_get_distinct_fingerprints(spark, tmp_path):
+    """ADVICE round 1: two different external inputs must not share stage
+    fingerprints (stale-checkpoint resume)."""
+    from pyrml_spark.kg.datagen import generate_documents
+    from pyrml_spark.kg.pipeline import KGPipelineConfig, run_pipeline
+
+    cfg = KGPipelineConfig(n_docs=60, use_pandas_extractor=False)
+    d1 = generate_documents(spark, 60)
+    d2 = generate_documents(spark, 40)  # different input, same config
+    out1 = run_pipeline(spark, str(tmp_path / "w"), cfg, documents=d1,
+                        input_tag="t1")
+    n1 = out1.count()
+    out2 = run_pipeline(spark, str(tmp_path / "w"), cfg, documents=d2,
+                        input_tag="t2")
+    n2 = out2.count()
+    assert n1 != n2  # t2 did NOT resume from t1's checkpoints

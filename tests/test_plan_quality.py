@@ -58,3 +58,27 @@ def test_whole_stage_codegen_present(spark):
     df.collect()  # AQE finalizes the physical plan on execution
     plan = plan_of(df)
     assert "WholeStageCodegen" in plan or "isFinalPlan=true" in plan, plan
+
+
+def test_neardup_plans_have_no_cartesian_or_bnlj(spark):
+    """Round-1 scale-killer regression: the exact near-dup operator must be a
+    block-partitioned equi-join + cogrouped pandas matmul, and the LSH path a
+    banded equi-join — never a BroadcastNestedLoopJoin / CartesianProduct."""
+    from pyrml_spark.ops.similarity import (ann_lsh_neardup,
+                                            embedding_cosine_neardup)
+
+    for q in (embedding_cosine_neardup, ann_lsh_neardup):
+        plan = plan_of(q(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+
+def test_jaccard_broadcasts_hot_not_rare_side(spark):
+    """The broadcast must be the small HOT-shingle set (anti-join), never the
+    rare set (≈ all shingles at corpus scale)."""
+    from pyrml_spark.ops.dedup import dedup_ngram_jaccard
+
+    plan = plan_of(dedup_ngram_jaccard(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the anti-join against the hot set is the only LeftAnti in the plan
+    assert re.search(r"LeftAnti, BuildRight", plan), plan

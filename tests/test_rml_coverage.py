@@ -197,3 +197,57 @@ def test_graph_map_template_and_default_graph(spark):
     gs = {g for _, _, _, g in quads}
     # subject graph template + explicit defaultGraph (null)
     assert "<http://g.ex/x>" in gs and None in gs
+
+
+def test_multivalued_null_input_drops_only_affected_triples(spark, tmp_path):
+    """ADVICE round 1 (high): a NULL multi-valued function result must not
+    nullify the whole row's pair array — rr:class and sibling POMs still emit.
+    Reference drops only the affected triple (pyrml_core.py null handling)."""
+    import csv
+
+    data = tmp_path / "d.csv"
+    with open(data, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "tags"])
+        w.writerow(["1", "a b"])
+        w.writerow(["2", ""])  # empty → split yields NULL-ish / empty array
+    mapping = tmp_path / "m.ttl"
+    mapping.write_text(f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix fnml: <http://semweb.mmlab.be/ns/fnml#> .
+@prefix fno: <https://w3id.org/function/ontology#> .
+@prefix grel: <http://users.ugent.be/~bjdmeest/function/grel.ttl#> .
+@prefix ex: <http://ex.org/> .
+<#TM> rml:logicalSource [ rml:source "{data}";
+        rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/r/{{id}}"; rr:class ex:Row ];
+  rr:predicateObjectMap [ rr:predicate ex:tag;
+    rr:objectMap [ fnml:functionValue [
+      rr:predicateObjectMap [ rr:predicate fno:executes;
+                              rr:objectMap [ rr:constant grel:string_split ] ];
+      rr:predicateObjectMap [ rr:predicate grel:valueParameter;
+                              rr:objectMap [ rml:reference "tags" ] ];
+      rr:predicateObjectMap [ rr:predicate grel:p_string_sep;
+                              rr:objectMap [ rr:constant " " ] ]
+    ] ] ] .
+""")
+    from pyrml_spark.compiler import convert
+
+    rows = convert(spark, str(mapping)).collect()
+    types = sorted(r["s"] for r in rows if "rdf-syntax-ns#type" in r["p"])
+    # BOTH rows keep their rdf:type triple even though row 2's split is empty
+    assert types == ["<http://ex.org/r/1>", "<http://ex.org/r/2>"], rows
+    tags = sorted(r["o"] for r in rows if r["p"] == "<http://ex.org/tag>")
+    assert tags == ['"a"', '"b"'], rows
+
+
+def test_condition_operators_inside_string_literals_untouched():
+    """ADVICE round 1 (low): &/|/~ inside quoted literals are values, not
+    boolean operators."""
+    from pyrml_spark.compiler import translate_condition
+
+    out = translate_condition("df['x'] == 'A&B' & df['y'] != 'p|q~r'")
+    assert "'A&B'" in out and "'p|q~r'" in out, out
+    assert out.count(" AND ") == 1, out
