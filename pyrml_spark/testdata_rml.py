@@ -324,6 +324,268 @@ FROM documents, unnest(string_split(documents.text, ' ')) AS t(tok)
 
 
 # ---------------------------------------------------------------------------
+# q: rml_bnode_terms — T5 deterministic blank-node subjects
+# ---------------------------------------------------------------------------
+
+_BNODE_MAP = """
+<#NatB> rml:logicalSource [ rml:source "{{ sf }}/nation.parquet" ] ;
+  rr:subjectMap [ rr:template "nat-{n_nationkey}" ; rr:termType rr:BlankNode ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ;
+    rr:objectMap [ rml:reference "n_name" ] ] .
+"""
+
+
+def q_bnode_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, _BNODE_MAP, sf_dir)
+
+
+# bnode labels: template value with non-alphanumerics → '_'
+# (deterministic across runs/partitions, unlike the reference's rdflib BNode)
+ORACLE_BNODE = """
+SELECT DISTINCT
+  '_:nat_' || n_nationkey AS s,
+  '<http://ex.com/name>' AS p,
+  '"' || n_name || '"' AS o,
+  CAST(NULL AS VARCHAR) AS g
+FROM nation
+"""
+
+# ---------------------------------------------------------------------------
+# q: rml_constant_language — T6 constant language tag
+# ---------------------------------------------------------------------------
+
+_CONST_LANG_MAP = """
+<#NatL> rml:logicalSource [ rml:source "{{ sf }}/nation.parquet" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/nation/{n_nationkey}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:label ;
+    rr:objectMap [ rml:reference "n_name" ; rr:language "en" ] ] .
+"""
+
+
+def q_constant_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, _CONST_LANG_MAP, sf_dir)
+
+
+ORACLE_CONST_LANG = """
+SELECT DISTINCT
+  '<http://ex.com/nation/' || n_nationkey || '>' AS s,
+  '<http://ex.com/label>' AS p,
+  '"' || n_name || '"@en' AS o,
+  CAST(NULL AS VARCHAR) AS g
+FROM nation
+"""
+
+# ---------------------------------------------------------------------------
+# q: rml_base_resolution — T13 @base resolution + invalid-IRI drop
+#    ('MIDDLE EAST' contains a space ⇒ the resolved IRI fails the validity
+#     regex and the triple is dropped, reference pyrml_mapper.py:164-194)
+# ---------------------------------------------------------------------------
+
+_BASE_MAP = """
+@base <http://base.org/kg/> .
+<#RegB> rml:logicalSource [ rml:source "{{ sf }}/region.parquet" ] ;
+  rr:subjectMap [ rr:template "region/{r_regionkey}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:nameIri ;
+    rr:objectMap [ rml:reference "r_name" ; rr:termType rr:IRI ] ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ;
+    rr:objectMap [ rml:reference "r_name" ] ] .
+"""
+
+
+def q_base_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, _BASE_MAP, sf_dir)
+
+
+# the engine's IRI validity regex, applied to the base-resolved value
+_IRI_VALID_SQL = r"""'^[A-Za-z][A-Za-z0-9+.\-]*:[^\s"<>{}|\\^`]*$'"""
+
+ORACLE_BASE = f"""
+SELECT DISTINCT s, p, o, g FROM (
+  SELECT '<http://base.org/kg/region/' || r_regionkey || '>' AS s,
+         '<http://ex.com/nameIri>' AS p,
+         '<http://base.org/kg/' || r_name || '>' AS o,
+         CAST(NULL AS VARCHAR) AS g
+  FROM region
+  WHERE regexp_matches('http://base.org/kg/' || r_name, {_IRI_VALID_SQL})
+  UNION ALL
+  SELECT '<http://base.org/kg/region/' || r_regionkey || '>',
+         '<http://ex.com/name>', '"' || r_name || '"', NULL
+  FROM region
+)
+"""
+
+# ---------------------------------------------------------------------------
+# q: rml_eval_template — T14 %eval:fun(args)% inline expressions
+# ---------------------------------------------------------------------------
+
+_EVAL_MAP = """
+<#NatE> rml:logicalSource [ rml:source "{{ sf }}/nation.parquet" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/nation/{n_nationkey}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:slug ;
+    rr:objectMap [ rr:template "n-%eval:toLowerCase('{n_name}')%" ;
+                   rr:termType rr:Literal ] ] .
+"""
+
+
+def q_eval_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, _EVAL_MAP, sf_dir)
+
+
+ORACLE_EVAL = """
+SELECT DISTINCT
+  '<http://ex.com/nation/' || n_nationkey || '>' AS s,
+  '<http://ex.com/slug>' AS p,
+  '"n-' || lower(n_name) || '"' AS o,
+  CAST(NULL AS VARCHAR) AS g
+FROM nation
+"""
+
+# ---------------------------------------------------------------------------
+# q: rml_samesource_rom — D6 join-less referencing object map (shared source:
+#    parent subject expression applied directly to child rows, no join)
+# ---------------------------------------------------------------------------
+
+_SAMESOURCE_MAP = """
+<#OrderS> rml:logicalSource [ rml:source "{{ sf }}/orders.parquet" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/order/{o_orderkey}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:custRef ;
+    rr:objectMap [ rr:parentTriplesMap <#CustS> ] ] .
+
+<#CustS> rml:logicalSource [ rml:source "{{ sf }}/orders.parquet" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/cust/{o_custkey}" ] .
+"""
+
+
+def q_samesource_rom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, _SAMESOURCE_MAP, sf_dir)
+
+
+ORACLE_SAMESOURCE = """
+SELECT DISTINCT
+  '<http://ex.com/order/' || o_orderkey || '>' AS s,
+  '<http://ex.com/custRef>' AS p,
+  '<http://ex.com/cust/' || o_custkey || '>' AS o,
+  CAST(NULL AS VARCHAR) AS g
+FROM orders
+"""
+
+# ---------------------------------------------------------------------------
+# q: rml_csv_source / rml_json_source — S1/S3 exercised end to end in the
+# driver: the query materializes a deterministic CSV/JSON copy of a testdata
+# table (idempotent, keyed on sf_dir) and maps THAT; the oracle reads the
+# original parquet view, so the comparison covers the source decoding
+# (all-string CSV columns, JSON native scalars + iterator) too.
+# ---------------------------------------------------------------------------
+
+
+def _derived_dir(sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"pyrml_srcgen_{key}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _nation_csv(spark: SparkSession, sf_dir: str) -> str:
+    import csv
+
+    path = os.path.join(_derived_dir(sf_dir), "nation.csv")
+    if not os.path.exists(path):
+        rows = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .orderBy("n_nationkey").collect()
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["n_nationkey", "n_name", "n_regionkey"])
+            for r in rows:
+                w.writerow([r["n_nationkey"], r["n_name"], r["n_regionkey"]])
+        os.replace(tmp, path)
+    return path
+
+
+def _region_json(spark: SparkSession, sf_dir: str) -> str:
+    import json
+
+    path = os.path.join(_derived_dir(sf_dir), "region.json")
+    if not os.path.exists(path):
+        rows = (
+            spark.read.parquet(f"{sf_dir}/region.parquet")
+            .orderBy("r_regionkey").collect()
+        )
+        doc = {"regions": [
+            {"id": r["r_regionkey"], "name": r["r_name"]} for r in rows
+        ]}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)
+    return path
+
+
+_CSV_SOURCE_MAP = """
+<#NatCsv> rml:logicalSource [ rml:source "{{ csv_path }}" ;
+                              rml:referenceFormulation ql:CSV ] ;
+  rr:subjectMap [ rr:template "http://ex.com/nation/{n_nationkey}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ;
+    rr:objectMap [ rml:reference "n_name" ] ] ;
+  rr:predicateObjectMap [ rr:predicate ex:region ;
+    rr:objectMap [ rml:reference "n_regionkey" ;
+                   rr:datatype xsd:integer ] ] .
+"""
+
+
+def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _nation_csv(spark, sf_dir)
+    plan = parse_mapping(_PRELUDE + _CSV_SOURCE_MAP,
+                         template_vars={"csv_path": path})
+    return RMLCompiler(spark, plan).compile()
+
+
+ORACLE_CSV_SOURCE = f"""
+SELECT DISTINCT s, p, o, g FROM (
+  SELECT '<http://ex.com/nation/' || n_nationkey || '>' AS s,
+         '<http://ex.com/name>' AS p, '"' || n_name || '"' AS o,
+         CAST(NULL AS VARCHAR) AS g
+  FROM nation
+  UNION ALL
+  SELECT '<http://ex.com/nation/' || n_nationkey || '>',
+         '<http://ex.com/region>',
+         '"' || n_regionkey || '"^^<{XSD}integer>', NULL
+  FROM nation
+)
+"""
+
+_JSON_SOURCE_MAP = """
+<#RegJson> rml:logicalSource [ rml:source "{{ json_path }}" ;
+    rml:referenceFormulation ql:JSONPath ;
+    rml:iterator "$.regions[*]" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/region/{id}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ;
+    rr:objectMap [ rml:reference "name" ] ] .
+"""
+
+
+def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _region_json(spark, sf_dir)
+    plan = parse_mapping(_PRELUDE + _JSON_SOURCE_MAP,
+                         template_vars={"json_path": path})
+    return RMLCompiler(spark, plan).compile()
+
+
+ORACLE_JSON_SOURCE = """
+SELECT DISTINCT
+  '<http://ex.com/region/' || r_regionkey || '>' AS s,
+  '<http://ex.com/name>' AS p,
+  '"' || r_name || '"' AS o,
+  CAST(NULL AS VARCHAR) AS g
+FROM region
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -336,6 +598,13 @@ RML_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rml_language_map": q_language_map,
     "rml_function_map": q_function_map,
     "rml_multivalued_split": q_multivalued_split,
+    "rml_bnode_terms": q_bnode_terms,
+    "rml_constant_language": q_constant_language,
+    "rml_base_resolution": q_base_resolution,
+    "rml_eval_template": q_eval_template,
+    "rml_samesource_rom": q_samesource_rom,
+    "rml_csv_source": q_csv_source,
+    "rml_json_source": q_json_source,
 }
 
 RML_ORACLES: Dict[str, str] = {
@@ -347,4 +616,11 @@ RML_ORACLES: Dict[str, str] = {
     "rml_language_map": ORACLE_LANG,
     "rml_function_map": ORACLE_FUNCTION,
     "rml_multivalued_split": ORACLE_SPLIT,
+    "rml_bnode_terms": ORACLE_BNODE,
+    "rml_constant_language": ORACLE_CONST_LANG,
+    "rml_base_resolution": ORACLE_BASE,
+    "rml_eval_template": ORACLE_EVAL,
+    "rml_samesource_rom": ORACLE_SAMESOURCE,
+    "rml_csv_source": ORACLE_CSV_SOURCE,
+    "rml_json_source": ORACLE_JSON_SOURCE,
 }
