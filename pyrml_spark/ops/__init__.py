@@ -8,7 +8,9 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 
 from .dedup import (
+    ORACLE_MINHASH_LSH,
     ORACLE_NGRAM_JACCARD,
+    ORACLE_SIMHASH,
     dedup_exact,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
@@ -61,11 +63,14 @@ OPS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": events_sessionize,
 }
 
-# minhash/simhash banding and LSH buckets use seeded xxhash64 /
-# SHA-derived hyperplanes — not DuckDB-expressible ⇒ rows-only checks
+# ann_lsh_buckets' SHA-derived hyperplanes are constants the SQL could
+# inline, but float summation order differs between engines at the sign
+# boundary ⇒ kept rows-only; everything else is oracle-checked.
 OPS_ORACLES: Dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "dedup_simhash": ORACLE_SIMHASH,
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "embedding_cosine_neardup": ORACLE_COSINE_NEARDUP,
     "ann_lsh_neardup": ORACLE_LSH_NEARDUP,

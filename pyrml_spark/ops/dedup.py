@@ -3,14 +3,16 @@ pipeline ops a 100 TB corpus needs (task brief: exact, MinHash+LSH, SimHash,
 n-gram Jaccard). All scale paths are shuffle-on-key designs:
 
 * exact: hash-groupBy on md5(text) — one shuffle, map-side combine
-* minhash-lsh: shingle→minhash(k seeded xxhash64)→band→bucket-join —
+* minhash-lsh: shingle→minhash(k seeded md5)→band→bucket-join —
   candidate pairs only meet inside a band bucket (no all-pairs blowup)
-* simhash: 64-bit sign-sum of token hashes; near-dups share banded chunks
+* simhash: 60-bit sign-sum of token hashes; near-dups share banded chunks
 * n-gram jaccard: exact verification over candidate pairs from a shared-
   shingle inverted index (explode + self-join on shingle key)
 
 No Python in the row path: shingling/hashing use native F.* expressions
-(xxhash64, transform, explode) end to end.
+(md5, transform, explode) end to end. The hash family is md5 (not
+xxhash64): engine-portable, so every dedup operator's exact pair set is
+verified against a DuckDB oracle rather than a rows-only check.
 """
 
 from __future__ import annotations
@@ -135,16 +137,26 @@ WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.8
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id + array of N_MINHASH min-hashes (seeded xxhash64 over distinct
-    shingles). Entirely native expressions — one narrow pass, no shuffle."""
+    """doc_id + array of N_MINHASH min-hashes (seeded md5-hex over distinct
+    shingles; the seed is a suffix). Entirely native expressions — one narrow
+    pass, no shuffle.
+
+    Hash family: md5 rather than xxhash64 — identical uniformity for minhash
+    purposes, but portable across engines, which makes the whole banding
+    pipeline DuckDB-expressible (the driver oracle verifies the exact pair
+    set instead of a rows-only check). Hex strings compare lexicographically
+    = numerically for fixed width, so array_min is a valid min-hash."""
     sh = _word_shingles(F.col("text"))
+
+    # closure factory: a default-arg lambda would have arity 2 and Spark's
+    # higher-order transform() would bind the second param to the element
+    # index instead of the seed
+    def _seeded(i: int):
+        suffix = F.lit(f"#{i}")
+        return lambda s: F.md5(F.concat(s, suffix))
+
     sig = F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, _i=i: F.xxhash64(s, F.lit(_i)))
-            )
-            for i in range(N_MINHASH)
-        ]
+        *[F.array_min(F.transform(sh, _seeded(i))) for i in range(N_MINHASH)]
     )
     return docs.select("doc_id", sig.alias("sig"))
 
@@ -156,8 +168,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
     Banding: signature split into LSH_BANDS bands; docs sharing any band
     bucket become candidates (join key = (band_idx, band_hash) — bounded
     bucket sizes, no all-pairs). Estimated J = fraction of matching minhashes.
-    Rows-only check (no SQL oracle: seeded xxhash64 isn't DuckDB-expressible).
-    """
+    md5 hash family throughout ⇒ the DuckDB oracle reproduces the exact pair
+    set (ORACLE_MINHASH_LSH)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sigs = minhash_signatures(docs)
     rows_per_band = N_MINHASH // LSH_BANDS
@@ -169,10 +181,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        F.md5(F.concat_ws(
+                            "|",
                             *[F.col("sig")[b * rows_per_band + r]
                               for r in range(rows_per_band)]
-                        ).alias("bucket"),
+                        )).alias("bucket"),
                     )
                     for b in range(LSH_BANDS)
                 ]
@@ -212,12 +225,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
     )
 
 
+N_SIMHASH_BITS = 60   # 15 hex chars of md5 — fits BIGINT in every engine
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash over whitespace tokens, fully native: per bit position,
-    sign-sum of token-hash bits."""
+    """60-bit SimHash over whitespace tokens, fully native: per bit position,
+    sign-sum of token-hash bits. Token hash = first 15 hex chars of md5
+    (portable across engines — the driver oracle recomputes the identical
+    simhash in DuckDB; xxhash64 would be Spark-only)."""
     toks = F.array_distinct(_tokens(F.col("text")))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n_bits = 63  # avoid the sign bit
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    n_bits = N_SIMHASH_BITS
     masks = F.array(*[F.lit(1 << i).cast("long") for i in range(n_bits)])
     # per-token ±1 contribution vector, summed element-wise in ONE pass
     contribs = F.transform(
@@ -245,18 +266,19 @@ def simhash64(docs: DataFrame) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str,
                   max_hamming: int = 8) -> DataFrame:
-    """SimHash near-dup pairs: candidates via 16-bit chunk equality (any of 4
-    chunks shared ⇒ candidate — pigeonhole for hamming ≤ 3 per 64/16 split;
+    """SimHash near-dup pairs: candidates via 15-bit chunk equality (any of 4
+    chunks shared ⇒ candidate — pigeonhole for hamming ≤ 3 per 60/15 split;
     wider hamming budgets accepted for recall), verified by exact popcount.
-    Rows-only check (bit-level xxhash64 not DuckDB-expressible)."""
+    md5 hash family ⇒ the exact pair set is oracle-checked in DuckDB
+    (ORACLE_SIMHASH)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sh = simhash64(docs)
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftright(F.col("simhash"), c * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftright(F.col("simhash"), c * 15)
+                .bitwiseAND(F.lit(0x7FFF))
                 .alias("val"),
             )
             for c in range(4)
@@ -288,3 +310,79 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+ORACLE_MINHASH_LSH = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+),
+seeds AS (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS seed),
+sigs AS (
+  SELECT doc_id, seed,
+         min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS h
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {N_MINHASH // LSH_BANDS} AS band,
+         md5(string_agg(h, '|' ORDER BY seed)) AS bucket
+  FROM sigs GROUP BY doc_id, seed // {N_MINHASH // LSH_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / {N_MINHASH}.0 AS e
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = doc_a
+  JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, round(e, 6) AS jaccard_est
+FROM est WHERE round(e, 6) >= 0.5
+"""
+
+
+ORACLE_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')
+         )) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, {N_SIMHASH_BITS - 1})) AS i) g
+  GROUP BY doc_id, i
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS val
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS h_a, b.simhash AS h_b
+  FROM chunks a JOIN chunks b
+    ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(h_a, h_b)) AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= 8
+"""

@@ -585,6 +585,67 @@ SELECT DISTINCT
 FROM region
 """
 
+
+def _nation_xml(spark: SparkSession, sf_dir: str) -> str:
+    from xml.sax.saxutils import escape, quoteattr
+
+    path = os.path.join(_derived_dir(sf_dir), "nation.xml")
+    if not os.path.exists(path):
+        rows = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .orderBy("n_nationkey").collect()
+        )
+        parts = ["<nations xmlns:t=\"http://ex.com/tpch\">"]
+        for r in rows:
+            parts.append(
+                f"<t:nation key={quoteattr(str(r['n_nationkey']))}>"
+                f"<t:name>{escape(r['n_name'])}</t:name>"
+                f"<t:region>{r['n_regionkey']}</t:region>"
+                "</t:nation>"
+            )
+        parts.append("</nations>")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("".join(parts))
+        os.replace(tmp, path)
+    return path
+
+
+_XML_SOURCE_MAP = """
+<#NatXml> rml:logicalSource [ rml:source "{{ xml_path }}" ;
+    rml:referenceFormulation ql:XPath ;
+    rml:iterator "/nations/t:nation" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/nation/{key}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ;
+    rr:objectMap [ rml:reference "name" ] ] ;
+  rr:predicateObjectMap [ rr:predicate ex:region ;
+    rr:objectMap [ rml:reference "region" ;
+                   rr:datatype xsd:integer ] ] .
+"""
+
+
+def q_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 in the driver: namespaced XML, executor-side distributed parse."""
+    path = _nation_xml(spark, sf_dir)
+    plan = parse_mapping(_PRELUDE + _XML_SOURCE_MAP,
+                         template_vars={"xml_path": path})
+    return RMLCompiler(spark, plan).compile()
+
+
+ORACLE_XML_SOURCE = f"""
+SELECT DISTINCT s, p, o, g FROM (
+  SELECT '<http://ex.com/nation/' || n_nationkey || '>' AS s,
+         '<http://ex.com/name>' AS p, '"' || n_name || '"' AS o,
+         CAST(NULL AS VARCHAR) AS g
+  FROM nation
+  UNION ALL
+  SELECT '<http://ex.com/nation/' || n_nationkey || '>',
+         '<http://ex.com/region>',
+         '"' || n_regionkey || '"^^<{XSD}integer>', NULL
+  FROM nation
+)
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -605,6 +666,7 @@ RML_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rml_samesource_rom": q_samesource_rom,
     "rml_csv_source": q_csv_source,
     "rml_json_source": q_json_source,
+    "rml_xml_source": q_xml_source,
 }
 
 RML_ORACLES: Dict[str, str] = {
@@ -623,4 +685,5 @@ RML_ORACLES: Dict[str, str] = {
     "rml_samesource_rom": ORACLE_SAMESOURCE,
     "rml_csv_source": ORACLE_CSV_SOURCE,
     "rml_json_source": ORACLE_JSON_SOURCE,
+    "rml_xml_source": ORACLE_XML_SOURCE,
 }
