@@ -22,8 +22,21 @@ MIN_SPANS = 3
 MAX_SPANS = 8
 
 
-def _h(*cols) -> Column:
+def _h_xxhash(*cols) -> Column:
     return F.xxhash64(*cols)
+
+
+def _h_md5(*cols) -> Column:
+    """60-bit hash from md5 over ':'-joined args — identical in DuckDB as
+    CAST('0x' || substr(md5(concat_ws(':', ...)), 1, 15) AS BIGINT), which
+    lets the driver oracle regenerate the corpus independently."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", *[c.cast("string") if isinstance(c, Column)
+                                     else F.lit(str(c)) for c in cols])),
+            1, 15),
+        16, 10,
+    ).cast("long")
 
 
 def generate_documents(
@@ -32,10 +45,17 @@ def generate_documents(
     n_persons: int = N_PERSONS,
     n_places: int = N_PLACES,
     partitions: int = 0,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """n_docs rows of (doc_id, spans). Deterministic in content AND in
     row→value mapping (independent of partitioning), so the same call at
-    local[8] and local[32] produces the identical table."""
+    local[8] and local[32] produces the identical table.
+
+    ``hash_family='md5'`` derives all content from md5 instead of xxhash64 —
+    slower, but reproducible in any SQL engine: the driver's DuckDB oracle
+    regenerates the exact corpus and checks the whole KG chain byte-for-byte
+    (xxhash64 stays the default for benches; structure is identical)."""
+    _h = _h_md5 if hash_family == "md5" else _h_xxhash
     rng = spark.range(n_docs)
     if partitions:
         rng = rng.repartition(partitions, "id")

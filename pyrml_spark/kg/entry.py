@@ -1,17 +1,23 @@
-"""Driver-facing KG pipeline queries (rows-only checks: the generator +
-iterative connected components are not SQL-expressible in DuckDB; per-row
-invariants and native/pandas extractor equality are pytest-verified in
-tests/test_kg_pipeline.py)."""
+"""Driver-facing KG pipeline queries — every stage of the north-rule chain
+(document synthesis → mention detection → connected-components
+canonicalization → full triple materialization) is checked against a DuckDB
+oracle that REGENERATES the corpus independently and re-derives the expected
+output in pure SQL (the canonical mapping via the alias-suffix closed form,
+which the engine's iterative min-label CC must agree with byte-for-byte).
+
+This works because the driver queries use the generator's md5 hash family
+(engine-portable); benches keep the faster xxhash64 family — the structure
+is identical (kg/datagen.py)."""
 
 from __future__ import annotations
 
-import os
 import tempfile
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from .datagen import generate_documents
+from .datagen import MAX_SPANS, MIN_SPANS, N_PERSONS, N_PLACES, generate_documents
 from .extract import mentions_native, sameas_candidates
 from .canonicalize import canonical_mapping
 from .pipeline import KGPipelineConfig, run_pipeline
@@ -19,16 +25,14 @@ from .pipeline import KGPipelineConfig, run_pipeline
 _N_DOCS_CHECK = 300
 
 
-def kg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The north-rule input table itself (deterministic synthesis).
+def _docs(spark: SparkSession) -> DataFrame:
+    return generate_documents(spark, _N_DOCS_CHECK, hash_family="md5")
 
-    Returned flattened (one row per span, scalar columns only): the driver's
-    canonicalizer sorts with pandas, which cannot hash/sort an
-    array<struct<…>> column (round-1 harness crash). Span-sequence equality
-    with the nested form is pytest-verified in tests/test_kg_pipeline.py."""
-    from pyspark.sql import functions as F
 
-    docs = generate_documents(spark, _N_DOCS_CHECK)
+def _flat(docs: DataFrame) -> DataFrame:
+    """Exploded scalar columns — the driver's canonicalizer sorts with pandas,
+    which cannot hash an array<struct<…>> column. Span-sequence equality with
+    the nested form is pytest-verified in tests/test_kg_pipeline.py."""
     return docs.select(
         "doc_id", F.posexplode("spans").alias("span_idx", "span")
     ).select(
@@ -41,12 +45,20 @@ def kg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule input table itself (deterministic synthesis)."""
+    return _flat(_docs(spark))
+
+
 def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mentions_native(generate_documents(spark, _N_DOCS_CHECK))
+    return mentions_native(_docs(spark))
 
 
 def kg_canonical_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = generate_documents(spark, _N_DOCS_CHECK)
+    """Iterative distributed connected components; the oracle derives the
+    same mapping through the alias-suffix closed form — two independent
+    algorithms, identical output."""
+    docs = _docs(spark)
     return canonical_mapping(sameas_candidates(mentions_native(docs)))
 
 
@@ -57,8 +69,160 @@ def kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = run_pipeline(
         spark, d,
         KGPipelineConfig(n_docs=_N_DOCS_CHECK, use_pandas_extractor=False),
+        documents=_docs(spark),
+        input_tag=f"md5-{_N_DOCS_CHECK}",
     )
     return df.select("s", "p", "o", "g")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles: regenerate the md5-family corpus in SQL and re-derive each
+# stage. The shared prefix mirrors kg/datagen.py line by line.
+# ---------------------------------------------------------------------------
+
+
+def _H(args: str) -> str:
+    """The generator's 60-bit hash in DuckDB SQL (kg/datagen.py:_h_md5)."""
+    return f"CAST('0x' || substr(md5(concat_ws(':', {args})), 1, 15) AS BIGINT)"
+
+
+_SPAN_RANGE = MAX_SPANS - MIN_SPANS + 1
+
+_GEN_PREFIX = f"""
+WITH docs AS (SELECT unnest(generate_series(0, {_N_DOCS_CHECK - 1})) AS doc),
+nsp AS (
+  SELECT doc, {MIN_SPANS} + ({_H("doc, 'nspans'")} % {_SPAN_RANGE}) AS n_spans
+  FROM docs
+),
+sp AS (SELECT doc, unnest(generate_series(0, n_spans - 1)) AS i FROM nsp),
+hv AS (
+  SELECT doc, i,
+    {_H("doc, i, 'kind'")} % 5 AS kind_sel,
+    {_H("doc, i, 'person'")} % {N_PERSONS} AS person_id,
+    {_H("doc, i, 'alias'")} % 6 AS alias_sel,
+    {_H("doc, i, 'place'")} % {N_PLACES} AS place_id,
+    {_H("doc, i, 'filler'")} % 1000 AS filler,
+    CAST(i * 64 + ({_H("doc, i, 'off'")} % 50) AS INTEGER) AS "offset"
+  FROM sp
+),
+flat AS (
+  SELECT printf('doc-%08d', doc) AS doc_id,
+         CAST(i AS INTEGER) AS span_idx,
+         CASE WHEN kind_sel < 3 THEN 'text'
+              WHEN kind_sel = 3 THEN 'image' ELSE 'audio' END AS kind,
+         CASE WHEN kind_sel < 3 THEN printf(
+           'report %d notes that PERSON:%s was seen at PLACE:L%d today',
+           filler,
+           CASE WHEN alias_sel = 0 THEN printf('P%d_aka', person_id)
+                WHEN alias_sel = 1 THEN printf('P%d_aka2', person_id)
+                ELSE printf('P%d', person_id) END,
+           place_id) END AS text,
+         CASE WHEN kind_sel >= 3
+              THEN printf('media://doc-%08d/%d', doc, i) END AS media_ref,
+         "offset"
+  FROM hv
+),
+mentions AS (
+  SELECT doc_id, span_idx, "offset", 'person' AS etype,
+         unnest(regexp_extract_all(text, 'PERSON:([A-Za-z0-9_]+)', 1)) AS surface
+  FROM flat WHERE kind = 'text'
+  UNION ALL
+  SELECT doc_id, span_idx, "offset", 'place',
+         unnest(regexp_extract_all(text, 'PLACE:([A-Za-z0-9_]+)', 1))
+  FROM flat WHERE kind = 'text'
+),
+linked AS (
+  SELECT DISTINCT surface FROM mentions
+  WHERE etype = 'person'
+    AND (ends_with(surface, '_aka') OR ends_with(surface, '_aka2'))
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT surface AS src,
+           CASE WHEN ends_with(surface, '_aka2')
+                THEN regexp_replace(surface, '_aka2$', '') || '_aka'
+                ELSE regexp_replace(surface, '_aka$', '') END AS dst
+    FROM linked
+    UNION ALL
+    SELECT regexp_replace(surface, '_aka2$', '') || '_aka',
+           regexp_replace(surface, '_aka2$', '')
+    FROM linked WHERE ends_with(surface, '_aka2')
+  )
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+mapping AS (
+  SELECT node AS entity, regexp_replace(node, '_aka2?$', '') AS canonical
+  FROM nodes
+)
+"""
+
+ORACLE_KG_DOCUMENTS = _GEN_PREFIX + """
+SELECT doc_id, span_idx, kind, text, media_ref, "offset" AS offset FROM flat
+"""
+
+ORACLE_KG_MENTIONS = _GEN_PREFIX + """
+SELECT doc_id, span_idx, "offset" AS offset, etype, surface FROM mentions
+"""
+
+ORACLE_KG_CANONICAL = _GEN_PREFIX + """
+SELECT entity, canonical FROM mapping
+"""
+
+ORACLE_KG_TRIPLES = _GEN_PREFIX + """
+, emap AS (
+  SELECT '<http://kg.ex/ent/person/' || entity || '>' AS ent_iri,
+         '<http://kg.ex/ent/person/' || canonical || '>' AS canon_iri
+  FROM mapping
+),
+raw AS (
+  SELECT '<http://kg.ex/doc/' || doc_id || '>' AS s,
+         '<http://kg.ex/p/mentions>' AS p,
+         '<http://kg.ex/ent/' || etype || '/' || surface || '>' AS o,
+         '<http://kg.ex/graph/mentions>' AS g
+  FROM mentions
+  UNION ALL
+  SELECT '<http://kg.ex/ent/' || etype || '/' || surface || '>',
+         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+         '<http://kg.ex/class/' || upper(substr(etype, 1, 1))
+           || substr(etype, 2) || '>',
+         '<http://kg.ex/graph/mentions>'
+  FROM mentions
+  UNION ALL
+  SELECT '<http://kg.ex/ent/' || etype || '/' || surface || '>',
+         '<http://kg.ex/p/surface>', '"' || surface || '"',
+         '<http://kg.ex/graph/mentions>'
+  FROM mentions
+  UNION ALL
+  SELECT '<http://kg.ex/doc/' || doc_id || '>', '<http://kg.ex/p/hasMedia>',
+         '<' || media_ref || '>', '<http://kg.ex/graph/media>'
+  FROM flat WHERE kind != 'text'
+  UNION ALL
+  SELECT '<' || media_ref || '>', '<http://kg.ex/p/mediaKind>',
+         '"' || kind || '"', '<http://kg.ex/graph/media>'
+  FROM flat WHERE kind != 'text'
+),
+rewritten AS (
+  SELECT coalesce(ms.canon_iri, raw.s) AS s, raw.p,
+         coalesce(mo.canon_iri, raw.o) AS o, raw.g
+  FROM raw
+  LEFT JOIN emap ms ON raw.s = ms.ent_iri
+  LEFT JOIN emap mo ON raw.o = mo.ent_iri
+),
+sameas AS (
+  SELECT '<http://kg.ex/ent/person/' || entity || '>' AS s,
+         '<http://www.w3.org/2002/07/owl#sameAs>' AS p,
+         '<http://kg.ex/ent/person/' || canonical || '>' AS o,
+         '<http://kg.ex/graph/sameas>' AS g
+  FROM mapping WHERE entity != canonical
+)
+SELECT DISTINCT s, p, o, g FROM (
+  SELECT * FROM rewritten UNION ALL SELECT * FROM sameas
+)
+"""
 
 
 KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -68,4 +232,9 @@ KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pipeline_triples": kg_pipeline_triples,
 }
 
-KG_ORACLES: Dict[str, str] = {}
+KG_ORACLES: Dict[str, str] = {
+    "kg_documents": ORACLE_KG_DOCUMENTS,
+    "kg_mentions": ORACLE_KG_MENTIONS,
+    "kg_canonical_mapping": ORACLE_KG_CANONICAL,
+    "kg_pipeline_triples": ORACLE_KG_TRIPLES,
+}

@@ -17,6 +17,7 @@ from .dedup import (
     dedup_simhash,
 )
 from .similarity import (
+    ORACLE_ANN_LSH_BUCKETS,
     ORACLE_ANN_TOPK,
     ORACLE_COSINE_NEARDUP,
     ORACLE_LSH_NEARDUP,
@@ -63,9 +64,10 @@ OPS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": events_sessionize,
 }
 
-# ann_lsh_buckets' SHA-derived hyperplanes are constants the SQL could
-# inline, but float summation order differs between engines at the sign
-# boundary ⇒ kept rows-only; everything else is oracle-checked.
+# media_features is the one rows-only check left (deterministic FAKE codec —
+# an honest environment stub); every other op is oracle-checked, including
+# ann_lsh_buckets (hyperplane constants inlined into the SQL; both engines
+# fold the dot product sequentially in float64 so sign bits agree exactly).
 OPS_ORACLES: Dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
@@ -74,6 +76,7 @@ OPS_ORACLES: Dict[str, str] = {
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "embedding_cosine_neardup": ORACLE_COSINE_NEARDUP,
     "ann_lsh_neardup": ORACLE_LSH_NEARDUP,
+    "ann_lsh_buckets": ORACLE_ANN_LSH_BUCKETS,
     "text_lang_id": ORACLE_LANG_ID,
     "text_quality_score": ORACLE_QUALITY,
     "text_token_count": ORACLE_TOKEN_COUNT,

@@ -243,12 +243,30 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str,
                     dim: int = 64) -> DataFrame:
     """Scale path: random-hyperplane LSH bucketing. Each vector gets a
     HYPERPLANES-bit signature; ANN joins happen within buckets. Output:
-    (vec_id, bucket) — candidates = equal buckets. Rows-only check."""
+    (vec_id, bucket) — candidates = equal buckets. Oracle: the hash-derived
+    hyperplanes are constants, inlined into the SQL below — both engines
+    evaluate the dot product as a sequential float64 fold, so the sign bits
+    agree exactly (verified bit-for-bit at sf0.001/0.01/0.1)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return emb.select(
         "vec_id",
         _signature_bits(F.col("embedding"), dim, HYPERPLANES).alias("bucket"),
     )
+
+
+def _lsh_buckets_oracle(dim: int = 64) -> str:
+    terms = []
+    for h in range(HYPERPLANES):
+        arr = "[" + ",".join(repr(v) for v in _hyperplane(dim, h)) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {arr})"
+            f" >= 0 THEN {1 << h} ELSE 0 END"
+        )
+    return ("SELECT vec_id, CAST(" + " + ".join(terms)
+            + " AS BIGINT) AS bucket FROM embeddings")
+
+
+ORACLE_ANN_LSH_BUCKETS = _lsh_buckets_oracle()
 
 
 LSH_NEARDUP_THRESHOLD = 0.9
