@@ -176,10 +176,13 @@ def _as_list(v) -> list:
     return v if isinstance(v, list) else [v]
 
 
-# strptime → Java SimpleDateFormat pattern translation for normalizeDate*
+# strptime → java.time pattern translation for normalizeDate*. Numeric
+# fields use single-letter tokens: Python's %d/%m accept 1- or 2-digit
+# values ('3. Oktober') while java.time's dd/MM are strictly 2-digit —
+# single letters parse both widths.
 _STRPTIME_MAP = [
-    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
-    ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"),
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "M"), ("%d", "d"),
+    ("%H", "H"), ("%I", "h"), ("%M", "m"), ("%S", "s"),
     ("%f", "SSSSSS"), ("%B", "MMMM"), ("%b", "MMM"), ("%A", "EEEE"),
     ("%a", "EEE"), ("%p", "a"), ("%z", "Z"), ("%j", "DDD"), ("%%", "%"),
 ]
@@ -193,15 +196,103 @@ def strptime_to_java(pattern: str) -> str:
 
 
 def _const_str(col: Column) -> Optional[str]:
-    """Extract a literal string from a Column built via F.lit (constant term
-    maps) — needed where Spark requires a non-Column argument."""
-    try:
-        expr = col._jc.toString()
-    except Exception:
-        return None
-    # lit('x') renders as 'x'; lit("a'b") is rare in format patterns
-    m = re.match(r"^'(.*)'$", expr, re.S)
-    return m.group(1) if m else None
+    """The Python constant carried through the IR by terms.const_lit (set on
+    constant term maps and %eval:% literals) — needed where Spark requires a
+    non-Column argument. No private Column API involved (round-1 ADVICE:
+    _jc.toString() breaks under Spark Connect)."""
+    from ..terms import const_value
+
+    v = const_value(col)
+    return None if v is None else str(v)
+
+
+# month / abbreviated-month / weekday names for the locales the reference's
+# test corpus and docs exercise (public calendar data). Keys are primary
+# language subtags; weekday names are stripped (redundant for the parse).
+_LOCALE_TABLES = {
+    "it": {
+        "months": ["gennaio", "febbraio", "marzo", "aprile", "maggio",
+                   "giugno", "luglio", "agosto", "settembre", "ottobre",
+                   "novembre", "dicembre"],
+        "months_abbr": ["gen", "feb", "mar", "apr", "mag", "giu", "lug",
+                        "ago", "set", "ott", "nov", "dic"],
+        "days": ["lunedì", "martedì", "mercoledì", "giovedì", "venerdì",
+                 "sabato", "domenica"],
+    },
+    "fr": {
+        "months": ["janvier", "février", "mars", "avril", "mai", "juin",
+                   "juillet", "août", "septembre", "octobre", "novembre",
+                   "décembre"],
+        "months_abbr": ["janv", "févr", "mars", "avr", "mai", "juin", "juil",
+                        "août", "sept", "oct", "nov", "déc"],
+        "days": ["lundi", "mardi", "mercredi", "jeudi", "vendredi", "samedi",
+                 "dimanche"],
+    },
+    "de": {
+        "months": ["Januar", "Februar", "März", "April", "Mai", "Juni",
+                   "Juli", "August", "September", "Oktober", "November",
+                   "Dezember"],
+        "months_abbr": ["Jan", "Feb", "Mär", "Apr", "Mai", "Jun", "Jul",
+                        "Aug", "Sep", "Okt", "Nov", "Dez"],
+        "days": ["Montag", "Dienstag", "Mittwoch", "Donnerstag", "Freitag",
+                 "Samstag", "Sonntag"],
+    },
+    "es": {
+        "months": ["enero", "febrero", "marzo", "abril", "mayo", "junio",
+                   "julio", "agosto", "septiembre", "octubre", "noviembre",
+                   "diciembre"],
+        "months_abbr": ["ene", "feb", "mar", "abr", "may", "jun", "jul",
+                        "ago", "sep", "oct", "nov", "dic"],
+        "days": ["lunes", "martes", "miércoles", "jueves", "viernes",
+                 "sábado", "domingo"],
+    },
+    "pt": {
+        "months": ["janeiro", "fevereiro", "março", "abril", "maio", "junho",
+                   "julho", "agosto", "setembro", "outubro", "novembro",
+                   "dezembro"],
+        "months_abbr": ["jan", "fev", "mar", "abr", "mai", "jun", "jul",
+                        "ago", "set", "out", "nov", "dez"],
+        "days": ["segunda-feira", "terça-feira", "quarta-feira",
+                 "quinta-feira", "sexta-feira", "sábado", "domingo"],
+    },
+    "nl": {
+        "months": ["januari", "februari", "maart", "april", "mei", "juni",
+                   "juli", "augustus", "september", "oktober", "november",
+                   "december"],
+        "months_abbr": ["jan", "feb", "mrt", "apr", "mei", "jun", "jul",
+                        "aug", "sep", "okt", "nov", "dec"],
+        "days": ["maandag", "dinsdag", "woensdag", "donderdag", "vrijdag",
+                 "zaterdag", "zondag"],
+    },
+}
+
+
+def _localize_to_numeric(col: Column, fmt: str, tbl: dict):
+    """Replace locale month names in the input with zero-padded numbers
+    (pattern token → %m) and strip weekday names; longest names first so a
+    full name is never half-eaten by an abbreviation."""
+    if "%B" in fmt:
+        for num, name in sorted(enumerate(tbl["months"], 1),
+                                key=lambda kv: -len(kv[1])):
+            col = F.regexp_replace(col, f"(?iu){re.escape(name)}", f"{num:02d}")
+        fmt = fmt.replace("%B", "%m")
+    if "%b" in fmt:
+        for num, name in sorted(enumerate(tbl["months_abbr"], 1),
+                                key=lambda kv: -len(kv[1])):
+            col = F.regexp_replace(col, f"(?iu){re.escape(name)}\\.?",
+                                   f"{num:02d}")
+        fmt = fmt.replace("%b", "%m")
+    for tok in ("%A", "%a"):
+        if tok in fmt:
+            names = tbl["days"] if tok == "%A" else [
+                d[:3] for d in tbl["days"]]
+            for name in sorted(names, key=len, reverse=True):
+                col = F.regexp_replace(col, f"(?iu){re.escape(name)}\\.?", "")
+            fmt = fmt.replace(tok, "")
+    # collapse whitespace runs the removals may have left, both sides
+    col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    fmt = re.sub(r"\s+", " ", fmt).strip()
+    return col, fmt
 
 
 def _normalize_date(date: Column, pattern: Column, lang: Column = None,
@@ -289,17 +380,32 @@ def default_registry() -> FunctionRegistry:
         lambda date, pattern: _normalize_date(date, pattern, to="dateTime"),
         date=IDLAB + "strDate", pattern=IDLAB + "pattern",
     )
-    # WithLang variants: non-English month/day names would need locale data;
-    # English-locale behavior is supported, other locales raise at compile
-    # (reference mutates process-global locale — thread-unsafe; functions.py:125-131)
+    # WithLang variants. The reference mutates the process-global locale and
+    # strptimes (functions.py:125-131) — thread-unsafe and needs OS locales.
+    # Here non-English month/day names are translated JVM-side (regexp chain
+    # from static tables) into numeric fields before the parse; no Python in
+    # the row path, no process-global state, no OS locale dependency.
     def _norm_lang(to):
         def f(date, pattern, lang):
             lc = _const_str(lang)
-            if lc and not lc.lower().startswith(("en", "c")):
+            if lc is None or lc.lower().startswith(("en", "c")):
+                return _normalize_date(date, pattern, to=to)
+            fmt = _const_str(pattern)
+            if fmt is None:
+                raise ValueError("normalizeDate*WithLang: pattern must be a "
+                                 "constant")
+            key = re.split(r"[-_.]", lc.lower())[0]
+            tbl = _LOCALE_TABLES.get(key)
+            if tbl is None:
                 raise NotImplementedError(
-                    f"normalizeDate*WithLang locale {lc!r} unsupported"
+                    f"normalizeDate*WithLang locale {lc!r} unsupported "
+                    f"(tables: en, {', '.join(sorted(_LOCALE_TABLES))})"
                 )
-            return _normalize_date(date, pattern, to=to)
+            col = date.cast("string")
+            col, fmt = _localize_to_numeric(col, fmt, tbl)
+            from ..terms import const_lit
+
+            return _normalize_date(col, const_lit(fmt), to=to)
         return f
     r.register(IDLAB + "normalizeDateWithLang", _norm_lang("date"),
                date=IDLAB + "strDate", pattern=IDLAB + "pattern",

@@ -73,6 +73,26 @@ def _col(name: str) -> Column:
     return F.col("`" + name.replace("`", "``") + "`")
 
 
+def const_lit(value) -> Column:
+    """``F.lit`` that remembers its Python value (``col._pyrml_const``) so
+    function builders needing a non-Column argument (format patterns,
+    separators, locales) can recover it without touching the private JVM
+    Column API (``_jc.toString()`` breaks under Spark Connect)."""
+    col = F.lit(value)
+    col._pyrml_const = value
+    return col
+
+
+def const_value(col: Column):
+    """The Python constant carried by :func:`const_lit`, else None.
+
+    Reads the instance __dict__ directly: ``getattr`` on a pyspark Column
+    never raises — ``Column.__getattr__`` fabricates a struct-field-access
+    Column for any unknown name."""
+    d = getattr(col, "__dict__", None)
+    return d.get("_pyrml_const") if isinstance(d, dict) else None
+
+
 def source_col(ctx: CompileCtx, name: str) -> Column:
     """Resolve a logical reference to a source column; missing ⇒ NULL
     (reproduces RMLTC0002c's expected-empty semantics)."""
@@ -233,9 +253,9 @@ def compile_eval_ast(ctx: CompileCtx, ast) -> Column:
         if "{" in s:
             parts = _plain_template_parts(ctx, s, iri_mode=False)
             return parts[0] if len(parts) == 1 else F.concat(*parts)
-        return F.lit(s)
+        return const_lit(s)
     if kind in ("num", "const"):
-        return F.lit(ast[1])
+        return const_lit(ast[1])
     if kind == "row":
         return F.struct(*[_col(c).alias(c) for c in ctx.columns])
     raise ValueError(f"unknown eval AST node {ast!r}")
@@ -277,10 +297,9 @@ def raw_value(ctx: CompileCtx, tm: TermMap) -> Column:
     if tm.kind == "reference":
         return source_col(ctx, tm.reference)
     if tm.kind == "constant":
-        c = tm.constant
-        if c[0] == "literal":
-            return F.lit(c[1])
-        return F.lit(c[1])  # IRI/bnode constants: the bare value
+        # literal and IRI/bnode constants alike: the bare value, with the
+        # Python constant attached for builders that need a non-Column arg
+        return const_lit(tm.constant[1])
     if tm.kind == "function":
         if ctx.functions is None:
             raise ValueError("function map used but no FunctionRegistry in ctx")

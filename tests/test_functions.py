@@ -4,6 +4,7 @@ pyrml/functions.py, bugs excluded per SURVEY.md §7)."""
 import pytest
 from pyspark.sql import functions as F
 
+from pyrml_spark.terms import const_lit
 from pyrml_spark.functions.registry import (
     GREL,
     IDLAB,
@@ -115,7 +116,7 @@ def test_array_functions(spark, reg):
     assert run1(spark, build(reg, GREL + "array_length", (ARR, arr))) == 3
     assert run1(spark, build(reg, GREL + "array_reverse", (ARR, arr))) == ["c", "b", "a"]
     assert run1(spark, build(reg, GREL + "array_join",
-                             (ARR, arr), (SEP, F.lit("-")))) == "a-b-c"
+                             (ARR, arr), (SEP, const_lit("-")))) == "a-b-c"
     assert run1(spark, build(reg, GREL + "array_slice",
                              (ARR, arr),
                              (GREL + "param_int_i_from", F.lit(1)),
@@ -123,7 +124,7 @@ def test_array_functions(spark, reg):
     nums = F.array(F.lit("1"), F.lit("2"), F.lit("3"))
     assert run1(spark, build(reg, GREL + "array_sum", (ARR, nums))) == 6.0
     assert run1(spark, build(reg, GREL + "string_split",
-                             (VP, F.lit("a b c")), (SEP, F.lit(" ")))) == ["a", "b", "c"]
+                             (VP, F.lit("a b c")), (SEP, const_lit(" ")))) == ["a", "b", "c"]
     assert run1(spark, build(reg, GREL + "listContainsElement",
                              (IDLAB + "list", arr),
                              (IDLAB + "str", F.lit("b")))) is True
@@ -134,13 +135,14 @@ def test_hash_and_date_functions(spark, reg):
         == "900150983cd24fb0d6963f7d28e17f72"
     assert run1(spark, build(reg, GREL + "string_sha1", (VP, F.lit("abc")))) \
         == "a9993e364706816aba3e25717850c26c9cd0d89d"
-    assert strptime_to_java("%d/%m/%Y %H:%M") == "dd/MM/yyyy HH:mm"
+    # single-letter java tokens parse 1- and 2-digit values (Python %d semantics)
+    assert strptime_to_java("%d/%m/%Y %H:%M") == "d/M/yyyy H:m"
     assert run1(spark, build(reg, IDLAB + "normalizeDate",
                              (IDLAB + "strDate", F.lit("23/12/1919")),
-                             (IDLAB + "pattern", F.lit("%d/%m/%Y")))) == "1919-12-23"
+                             (IDLAB + "pattern", const_lit("%d/%m/%Y")))) == "1919-12-23"
     assert run1(spark, build(reg, IDLAB + "normalizeDateTime",
                              (IDLAB + "strDate", F.lit("23/12/1919 10:30")),
-                             (IDLAB + "pattern", F.lit("%d/%m/%Y %H:%M")))) \
+                             (IDLAB + "pattern", const_lit("%d/%m/%Y %H:%M")))) \
         == "1919-12-23T10:30:00"
 
 
@@ -178,3 +180,41 @@ def test_coalesce_and_isnull(spark, reg):
                              (IDLAB + "str", F.lit(None).cast("string")))) is True
     assert run1(spark, build(reg, IDLAB + "isNull",
                              (IDLAB + "str", F.lit("x")))) is False
+
+
+def test_normalize_date_with_lang_locales(spark, reg):
+    """Non-English locales (round-1 gap): month/day names translated to
+    numeric fields JVM-side — reference semantics (functions.py:119-148)
+    without its process-global locale mutation."""
+    IDLAB_ = "http://example.com/idlab/function/"
+    cases = [
+        ("23 dicembre 1919", "%d %B %Y", "it_IT", "1919-12-23"),
+        ("06 décembre 1929", "%d %B %Y", "fr_FR", "1929-12-06"),
+        ("3. Oktober 1990", "%d. %B %Y", "de_DE", "1990-10-03"),
+        ("12 ago 2001", "%d %b %Y", "es_ES", "2001-08-12"),
+        ("sábado 12 agosto 2001", "%A %d %B %Y", "es", "2001-08-12"),
+        ("23/12/1919", "%d/%m/%Y", "en_US", "1919-12-23"),
+    ]
+    for value, fmt, lang, expect in cases:
+        got = run1(spark, build(
+            reg, IDLAB_ + "normalizeDateWithLang",
+            (IDLAB_ + "strDate", F.lit(value)),
+            (IDLAB_ + "pattern", const_lit(fmt)),
+            (IDLAB_ + "lang", const_lit(lang)),
+        ))
+        assert got == expect, (value, lang, got)
+    got = run1(spark, build(
+        reg, IDLAB_ + "normalizeDateTimeWithLang",
+        (IDLAB_ + "strDate", "23 dicembre 1919 10:30"
+         and F.lit("23 dicembre 1919 10:30")),
+        (IDLAB_ + "pattern", const_lit("%d %B %Y %H:%M")),
+        (IDLAB_ + "lang", const_lit("it")),
+    ))
+    assert got == "1919-12-23T10:30:00", got
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        build(reg, IDLAB_ + "normalizeDateWithLang",
+              (IDLAB_ + "strDate", F.lit("x")),
+              (IDLAB_ + "pattern", const_lit("%d %B %Y")),
+              (IDLAB_ + "lang", const_lit("fi_FI")))
