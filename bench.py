@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "embedding_cosine_neardup",
+    "ann_lsh_neardup",
     "text_lang_id",
     "text_quality_score",
     "doc_fingerprint",

@@ -68,7 +68,10 @@ def connected_components(
                 .cast("int").alias("changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # lazy checkpoint + immediate aggregate: the agg action materializes
+        # the checkpoint AND returns the convergence count in ONE job per
+        # iteration (eager=True plus a separate agg ran two)
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
         labels = new_labels.drop("changed")
         if on_iteration:

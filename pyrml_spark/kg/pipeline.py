@@ -200,10 +200,12 @@ def run_pipeline_fused(
     extractor = mentions_pandas if config.use_pandas_extractor else mentions_native
     mentions = extractor(docs).persist()
     edges = sameas_candidates(mentions).persist()
-    # size gate BEFORE any collect: limit(MAX+1).count() proves the set fits
-    # (or doesn't) without ever shipping an over-threshold edge list to the
-    # driver — collecting first would be the OOM itself at real scale
-    probe = edges.limit(DRIVER_UNION_FIND_MAX_EDGES + 1).count()
+    # size gate BEFORE any collect: a count() proves the set fits (or
+    # doesn't) without ever shipping an over-threshold edge list to the
+    # driver — collecting first would be the OOM itself at real scale.
+    # (A plain count, not limit(N+1).count(): CollectLimit's incremental
+    # partition scans bypass and partially populate the persist cache.)
+    probe = edges.count()
     if probe <= DRIVER_UNION_FIND_MAX_EDGES:
         edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]
         pairs = _driver_union_find(edge_rows)

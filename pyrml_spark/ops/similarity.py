@@ -271,7 +271,7 @@ ORACLE_ANN_LSH_BUCKETS = _lsh_buckets_oracle()
 
 LSH_NEARDUP_THRESHOLD = 0.9
 LSH_NEARDUP_BANDS = 16
-LSH_NEARDUP_BITS = 8
+LSH_NEARDUP_BITS = 10
 
 
 def lsh_cosine_neardup(emb: DataFrame,
@@ -286,10 +286,10 @@ def lsh_cosine_neardup(emb: DataFrame,
     Banding (OR of ``n_bands`` AND-compositions of ``bits_per_band``
     hyperplane signs): a pair collides in one band with probability
     ``(1-θ/π)^bits``; across bands, miss = ``(1-p)^bands``. At the default
-    (16 bands × 8 bits, threshold 0.9): a sim-0.98 pair has p_bit≈0.936,
-    per-band p≈0.59, miss ≈ 0.41^16 ≈ 6e-7 — effectively exact recall —
+    (16 bands × 10 bits, threshold 0.9): a sim-0.98 pair has p_bit≈0.936,
+    per-band p≈0.52, miss ≈ 0.48^16 ≈ 8.5e-6 — effectively exact recall —
     while unrelated pairs (sim≈0, p_bit=0.5) collide per band with prob
-    2^-8, so expected candidate volume is 16·n²/2⁹ = n²/32, not n²/2.
+    2^-10, so expected candidate volume is 16·n²/2¹¹ = n²/128, not n²/2.
     Candidates meet via an equi-join on (band, signature) — bounded buckets,
     no all-pairs — then the exact JVM-side dot product verifies (candidates
     are id-pairs only; vectors re-join after dedup so the band shuffle never
@@ -302,18 +302,34 @@ def lsh_cosine_neardup(emb: DataFrame,
     emb = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    banded = emb.select(
-        "vec_id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                _signature_bits(F.col("embedding"), dim, bits_per_band,
-                                first_bit=b * bits_per_band).alias("sig"),
-            )
-            for b in range(n_bands)
-        ])).alias("bs"),
-    ).select("vec_id", F.col("bs.band").alias("band"),
-             F.col("bs.sig").alias("sig"))
+    # band signatures via one Arrow-batched numpy matmul per partition —
+    # n_bands·bits hyperplane dots per row as nested JVM aggregates fell out
+    # of codegen (measured ~10 ms/row); the narrow pandas map is the scale
+    # shape too (no shuffle, payloads never hit the driver). The verify
+    # stage below recomputes exact sims JVM-side, so candidate recall is the
+    # only thing that depends on these signs.
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [_hyperplane(dim, h) for h in range(n_bands * bits_per_band)]
+    )  # (n_bands*bits, dim), row b*bits+h ↔ bit h of band b
+    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+
+    def banded_sigs(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy())
+            signs = (E @ planes.T) >= 0            # (n, n_bands*bits)
+            sigs = signs.reshape(len(pdf), n_bands, bits_per_band) @ weights
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands),
+                "band": np.tile(np.arange(n_bands, dtype=np.int32), len(pdf)),
+                "sig": sigs.reshape(-1),
+            })
+
+    banded = emb.mapInPandas(banded_sigs, "vec_id long, band int, sig long")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -324,12 +340,18 @@ def lsh_cosine_neardup(emb: DataFrame,
                 F.col("b.vec_id").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"),
-                    F.col("embedding").alias("e_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"),
-                    F.col("embedding").alias("e_b"))
-    sim_raw = _dot(F.col("e_a"), F.col("e_b")) / (
-        _norm(F.col("e_a")) * _norm(F.col("e_b")))
+    # verify: norms computed ONCE per vector (n rows), a single fold per
+    # candidate pair — not dot+2 norms per pair (3× interpreted higher-order
+    # work on every candidate)
+    withnorm = emb.select("vec_id", "embedding",
+                          _norm(F.col("embedding")).alias("nrm"))
+    ea = withnorm.select(F.col("vec_id").alias("vec_a"),
+                         F.col("embedding").alias("e_a"),
+                         F.col("nrm").alias("n_a"))
+    eb = withnorm.select(F.col("vec_id").alias("vec_b"),
+                         F.col("embedding").alias("e_b"),
+                         F.col("nrm").alias("n_b"))
+    sim_raw = _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         cand.join(ea, "vec_a").join(eb, "vec_b")
         .select("vec_a", "vec_b",
