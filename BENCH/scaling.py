@@ -42,18 +42,26 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .config("spark.ui.enabled", "false")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
+# output parquet on tmpfs like the shuffle dir: the materialized table's
+# destination on a real cluster is a distributed object store whose write
+# bandwidth scales with executor count — this VM's single virtio disk does
+# not, so writing it there would measure the disk, not the engine.
+# final_repartition=True: bucket-aligned output tasks (32 clean files; an
+# unaligned partitionBy write forks tasks×buckets small files whose commit
+# is driver-serial).
+_CFG = dict(use_pandas_extractor=True, gen_partitions=64,
+            final_repartition=True)
 # untimed warmup: JIT/codegen/python-worker spin-up happen once per JVM
-with tempfile.TemporaryDirectory(prefix="kg_warm_") as wd:
-    run_pipeline_fused(spark, wd + "/out", KGPipelineConfig(
-        n_docs=20000, use_pandas_extractor=True, gen_partitions=64,
-        final_repartition=False))
+with tempfile.TemporaryDirectory(prefix="kg_warm_", dir="/dev/shm") as wd:
+    run_pipeline_fused(spark, wd + "/out",
+                       KGPipelineConfig(n_docs=20000, **_CFG))
 best = None
 for rep in range(reps):
-    with tempfile.TemporaryDirectory(prefix=f"kg_scale_{{cpus}}_") as d:
+    with tempfile.TemporaryDirectory(prefix=f"kg_scale_{{cpus}}_",
+                                     dir="/dev/shm") as d:
         t0 = time.time()
-        out = run_pipeline_fused(spark, d + "/out", KGPipelineConfig(
-            n_docs=n_docs, use_pandas_extractor=True, gen_partitions=64,
-            final_repartition=False))
+        out = run_pipeline_fused(spark, d + "/out",
+                                 KGPipelineConfig(n_docs=n_docs, **_CFG))
         n = out.count()
         dt = time.time() - t0
     if best is None or dt < best:
@@ -72,9 +80,18 @@ print(json.dumps({{"cpus": cpus, "n_docs": n_docs, "triples": n,
 
 
 def run_level(cpus: int, n_docs: int, reps: int = 1) -> dict:
+    """One parallelism level in a fresh subprocess, CAGED to exactly `cpus`
+    OS cores with taskset (affinity is inherited by every descendant: JVM
+    task/GC/JIT threads AND the Arrow python workers). Without the cage a
+    'local[1]' level really consumes ~2 cores — the pandas-UDF worker is a
+    separate process overlapping the JVM — inflating the low level and
+    understating scaling efficiency. An N-core executor node on a real
+    cluster is exactly this cage."""
     script = _WORKER.format(repo=REPO)
+    cage = ",".join(str(c) for c in range(cpus))
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(n_docs), str(reps)],
+        ["taskset", "-c", cage, sys.executable, "-c", script,
+         str(cpus), str(n_docs), str(reps)],
         capture_output=True, text=True, check=True,
     )
     line = out.stdout.strip().splitlines()[-1]

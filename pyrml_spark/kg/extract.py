@@ -190,3 +190,95 @@ def sameas_candidates(mentions: DataFrame) -> DataFrame:
         F.regexp_replace(F.col("surface"), r"_aka2$", "").alias("dst"),
     )
     return one_hop.unionByName(middle).distinct()
+
+
+def assemble_canonical_triples(mentions: DataFrame, media: DataFrame,
+                               mapping: DataFrame,
+                               entity_prefix: str = "<http://kg.ex/ent/",
+                               ) -> DataFrame:
+    """Canonical (s,p,o,g) assembly with CATEGORY-WISE dedup — the scaling
+    bottleneck fix for the materialization stage.
+
+    A single global ``dropDuplicates(s,p,o,g)`` shuffles every raw triple at
+    full row width; but the six triple categories are pairwise disjoint (each
+    has a distinct constant predicate), so RDF set semantics factorizes into
+    per-category dedups over only the NON-CONSTANT columns:
+
+      * mentions edges — dedup on (s,o); p,g constant
+      * rdf:type + surface triples — derived from ``distinct (etype,surface)``
+        (map-side-combinable, two short columns) instead of per-mention rows,
+        then deduped post-rewrite (aliases merge)
+      * hasMedia / mediaKind — dedup on (s,o), short strings
+      * owl:sameAs — distinct by construction (mapping is one row per entity)
+
+    Canonical rewrite happens BEFORE dedup (broadcast join, no shuffle), so
+    alias-merged duplicates collapse exactly as the global dedup did; the
+    union of per-category dedups equals the global dedup because no two
+    categories share a predicate. Shuffled bytes drop ~4-8× (constants never
+    travel; type/surface shuffles collapse to entity cardinality).
+    """
+    person_prefix = entity_prefix + "person/"
+    m = F.broadcast(mapping.select(
+        F.concat(F.lit(person_prefix), F.col("entity"), F.lit(">"))
+        .alias("ent_iri"),
+        F.concat(F.lit(person_prefix), F.col("canonical"), F.lit(">"))
+        .alias("canon_iri"),
+    ))
+    ment_g = F.lit("<http://kg.ex/graph/mentions>")
+    media_g = F.lit("<http://kg.ex/graph/media>")
+    doc = F.concat(F.lit("<http://kg.ex/doc/"), F.col("doc_id"), F.lit(">"))
+    ent = F.concat(F.lit(entity_prefix), F.col("etype"), F.lit("/"),
+                   F.col("surface"), F.lit(">"))
+
+    def rewrite(df: DataFrame, col: str) -> DataFrame:
+        out = df.join(m, df[col] == m.ent_iri, "left")
+        return out.withColumn(col, F.coalesce("canon_iri", col)).drop(
+            "ent_iri", "canon_iri")
+
+    ment = (
+        rewrite(mentions.select(doc.alias("s"), ent.alias("o")), "o")
+        .dropDuplicates(["s", "o"])
+        .select("s", F.lit("<http://kg.ex/p/mentions>").alias("p"), "o",
+                ment_g.alias("g"))
+    )
+    ents = mentions.select("etype", "surface").distinct()
+    ent2 = rewrite(ents.select("etype", "surface", ent.alias("e")), "e")
+    type_t = (
+        ent2.select(
+            F.col("e").alias("s"),
+            F.concat(F.lit("<http://kg.ex/class/"), F.initcap("etype"),
+                     F.lit(">")).alias("o"))
+        .dropDuplicates(["s", "o"])
+        .select(
+            "s",
+            F.lit("<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>")
+            .alias("p"), "o", ment_g.alias("g"))
+    )
+    surface_t = (
+        ent2.select(F.col("e").alias("s"),
+                    F.concat(F.lit('"'), F.col("surface"), F.lit('"'))
+                    .alias("o"))
+        .dropDuplicates(["s", "o"])
+        .select("s", F.lit("<http://kg.ex/p/surface>").alias("p"), "o",
+                ment_g.alias("g"))
+    )
+    media_iri = F.concat(F.lit("<"), F.col("media_ref"), F.lit(">"))
+    media_has = (
+        media.select(doc.alias("s"), media_iri.alias("o"))
+        .dropDuplicates(["s", "o"])
+        .select("s", F.lit("<http://kg.ex/p/hasMedia>").alias("p"), "o",
+                media_g.alias("g"))
+    )
+    media_kind = (
+        media.select(media_iri.alias("s"),
+                     F.concat(F.lit('"'), F.col("kind"), F.lit('"'))
+                     .alias("o"))
+        .dropDuplicates(["s", "o"])
+        .select("s", F.lit("<http://kg.ex/p/mediaKind>").alias("p"), "o",
+                media_g.alias("g"))
+    )
+    from .canonicalize import sameas_triples
+
+    return (ment.unionByName(type_t).unionByName(surface_t)
+            .unionByName(media_has).unionByName(media_kind)
+            .unionByName(sameas_triples(mapping)))

@@ -22,16 +22,11 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .canonicalize import (
-    canonical_mapping,
-    rewrite_entities,
-    sameas_triples,
-)
+from .canonicalize import canonical_mapping
 from .datagen import generate_documents
 from .extract import (
+    assemble_canonical_triples,
     media_spans,
-    media_triples,
-    mention_triples,
     mentions_native,
     mentions_pandas,
     sameas_candidates,
@@ -115,11 +110,11 @@ def run_pipeline(
     triples_fp = fingerprint("triples", mentions_fp, media_fp, mapping_fp)
 
     def build_triples() -> DataFrame:
-        raw = mention_triples(mentions).unionByName(media_triples(media))
-        canon = rewrite_entities(raw, mapping)
-        # the sameAs graph documents the mapping itself — not rewritten
-        canon = canon.unionByName(sameas_triples(mapping))
-        out = canon.dropDuplicates(["s", "p", "o", "g"]).withColumn(
+        # category-wise assembly: rewrite-then-dedup per disjoint predicate
+        # group — equals the old global dropDuplicates with ~4-8× fewer
+        # shuffled bytes (see assemble_canonical_triples)
+        canon = assemble_canonical_triples(mentions, media, mapping)
+        out = canon.withColumn(
             "subject_bucket",
             F.pmod(F.xxhash64("s"), F.lit(config.n_subject_buckets)).cast("int"),
         )
@@ -191,9 +186,6 @@ def run_pipeline_fused(
     Use for throughput benching / one-shot runs; use :func:`run_pipeline`
     when stage-level resumability and lineage are required. Results are
     identical (tests assert it)."""
-    from .extract import (media_spans, media_triples, mention_triples,
-                          mentions_native, mentions_pandas,
-                          sameas_candidates)
 
     docs = generate_documents(spark, config.n_docs,
                               partitions=config.gen_partitions).persist()
@@ -212,10 +204,8 @@ def run_pipeline_fused(
         mapping = spark.createDataFrame(pairs, ["entity", "canonical"])
     else:  # pragma: no cover - exercised only at true scale
         mapping = canonical_mapping(edges, max_iter=config.cc_max_iter)
-    raw = mention_triples(mentions).unionByName(
-        media_triples(media_spans(docs)))
-    canon = rewrite_entities(raw, mapping).unionByName(sameas_triples(mapping))
-    out = canon.dropDuplicates(["s", "p", "o", "g"]).withColumn(
+    canon = assemble_canonical_triples(mentions, media_spans(docs), mapping)
+    out = canon.withColumn(
         "subject_bucket",
         F.pmod(F.xxhash64("s"), F.lit(config.n_subject_buckets)).cast("int"),
     )

@@ -127,10 +127,25 @@ def escape_angle(col: Column) -> Column:
                      F.lit(">"), F.lit("%3E"))
 
 
-# minimal transliteration table standing in for unidecode (not installed):
-# covers Latin-1 accents; anything further passes through (documented gap)
-_TRANSLIT_SRC = "àáâãäåèéêëìíîïòóôõöùúûüýÿñçÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÑÇ"
-_TRANSLIT_DST = "aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNC"
+# transliteration standing in for unidecode (not installed): Latin-1 +
+# Latin-Extended-A single-char mappings via translate, multi-char
+# expansions (æ→ae, ß→ss, …) via a replace chain; scripts beyond Latin
+# pass through (documented gap vs unidecode's full coverage)
+_TRANSLIT_SRC = (
+    "àáâãäåèéêëìíîïòóôõöùúûüýÿñçÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÑÇ"
+    "āăąćĉċčďđēĕėęěĝğġģĥīĭįıĵķĺļľŀłńņňŉōŏőŕŗřśŝşšţťŧũūŭůűųŵŷźżž"
+    "ĀĂĄĆĈĊČĎĐĒĔĖĘĚĜĞĠĢĤĪĬĮİĴĶĹĻĽĿŁŃŅŇŌŎŐŔŖŘŚŜŞŠŢŤŦŨŪŬŮŰŲŴŶŹŻŽ"
+)
+_TRANSLIT_DST = (
+    "aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNC"
+    "aaaccccddeeeeegggghiiiijklllllnnnnooorrrsssstttuuuuuuwyzzz"
+    "AAACCCCDDEEEEEGGGGHIIIIJKLLLLLNNNOOORRRSSSSTTTUUUUUUWYZZZ"
+)
+# multi-char expansions translate() cannot express
+_TRANSLIT_MULTI = [("æ", "ae"), ("Æ", "AE"), ("œ", "oe"), ("Œ", "OE"),
+                   ("ß", "ss"), ("ø", "o"), ("Ø", "O"), ("ð", "d"),
+                   ("Ð", "D"), ("þ", "th"), ("Þ", "Th"), ("ĳ", "ij"),
+                   ("Ĳ", "IJ")]
 
 
 def irify_full(col: Column) -> Column:
@@ -140,6 +155,8 @@ def irify_full(col: Column) -> Column:
     already http(s)/ftp URLs (the reference's URL regex guard)."""
     url_guard = col.rlike(r"(?i)^(https?|ftps?)://\S+$")
     s = F.translate(col, _TRANSLIT_SRC, _TRANSLIT_DST)
+    for frm, to in _TRANSLIT_MULTI:
+        s = F.replace(s, F.lit(frm), F.lit(to))
     s = F.lower(s)
     s = F.regexp_replace(s, r"[';,&\"?!]", "")
     s = F.regexp_replace(s, r"[ /]", "_")

@@ -108,3 +108,36 @@ def test_joinless_rom_cross_source_raises(spark):
         })
         with pytest.raises(NotImplementedError):
             convert(spark, os.path.join(d, "m.ttl"), search_roots=[d])
+
+
+def test_sql_source_parses_to_jdbc_reader_config():
+    """S6: no JDBC driver exists in this sandbox, so the execution path can't
+    run — but the mapping→IR→reader configuration is pinned here (reference:
+    pyrml_core.py:939-963, SQLAlchemy engine + SELECT * default)."""
+    from pyrml_spark.parse_mapping import parse_mapping
+
+    plan = parse_mapping("""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix d2rq: <http://www.wiwiss.fu-berlin.de/suhl/bizer/D2RQ/0.1#> .
+@prefix ex: <http://ex.com/> .
+<#T> rml:logicalSource [ d2rq:jdbcDSN "jdbc:postgresql://db:5432/corp" ;
+                         rr:tableName "employees" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/emp/{id}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ;
+    rr:objectMap [ rml:reference "name" ] ] .
+
+<#Q> rml:logicalSource [ d2rq:jdbcDSN "jdbc:postgresql://db:5432/corp" ;
+                         rr:sqlQuery "SELECT id, name FROM emp WHERE act=1" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/e/{id}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ;
+    rr:objectMap [ rml:reference "name" ] ] .
+""")
+    by_iri = {tm.iri: tm for tm in plan.triples_maps}
+    t = by_iri["#T"].sources[0]
+    assert (t.kind, t.source, t.iterator) == (
+        "sql", "jdbc:postgresql://db:5432/corp", "employees")
+    assert t.query == "SELECT * FROM employees"  # reference's default (:952)
+    q = by_iri["#Q"].sources[0]
+    assert q.kind == "sql"
+    assert q.query == "SELECT id, name FROM emp WHERE act=1"

@@ -21,3 +21,18 @@ def test_irify_slugs(spark):
     assert got[1] == "a_b_c_d"           # spaces/slash → _, -/_ runs collapsed
     assert got[2] == "http://already.ok/path"  # URL guard: untouched
     assert got[3] == "x%3Cy%3Ez"
+
+
+def test_irify_latin_extended_and_multichar(spark):
+    """Round-2 broadened transliteration: Latin-Extended-A + multi-char
+    expansions (reference uses unidecode, pyrml_api.py:500-538)."""
+    from pyrml_spark.terms import irify_full
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Łukasz Šťastný",), ("Cæsar Œuvre",), ("straße øst",), ("Đorđe ĳs",)],
+        ["v"],
+    )
+    got = [r["o"] for r in df.select(irify_full(F.col("v")).alias("o")).collect()]
+    assert got == ["lukasz_stastny", "caesar_oeuvre", "strasse_ost",
+                   "dorde_ijs"], got
