@@ -101,13 +101,17 @@ def main() -> None:
     timings["kg_pipeline"] = kg_dt
     total += kg_dt
 
+    # fused = max-throughput mode: native-Column extraction (the pandas/Arrow
+    # extractor is the pluggable model-NER slot, exercised by the
+    # checkpointed run above; in local mode its python workers contend with
+    # JVM task threads for the same cores)
     with tempfile.TemporaryDirectory(prefix="kg_bench_f_") as d:
         t0 = time.time()
         out = run_pipeline_fused(
             spark, d + "/out",
-            KGPipelineConfig(n_docs=KG_DOCS, use_pandas_extractor=True,
+            KGPipelineConfig(n_docs=KG_DOCS, use_pandas_extractor=False,
                              gen_partitions=CPUS * 2,
-                             final_repartition=False),
+                             final_repartition=True),
         )
         n_triples_fused = out.count()
         kg_fused_dt = round(time.time() - t0, 3)
