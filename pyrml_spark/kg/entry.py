@@ -75,6 +75,26 @@ def kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("s", "p", "o", "g")
 
 
+def kg_pipeline_fused_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused/throughput assembly against the SAME oracle as the
+    checkpointed mode: driver union-find canonicalization (the fused path's
+    small-edge-set crossover) + single-DAG category-wise assembly, no
+    checkpoints — where kg_pipeline_triples uses the iterative distributed
+    CC and per-stage checkpointing. Two different canonicalization
+    algorithms and orchestrations, one independent SQL rederivation — all
+    three must agree byte-for-byte."""
+    from .extract import (assemble_canonical_triples, media_spans,
+                          mentions_native, sameas_candidates)
+    from .pipeline import _driver_union_find
+
+    docs = _docs(spark)
+    mentions = mentions_native(docs)
+    rows = [(r["src"], r["dst"]) for r in sameas_candidates(mentions).collect()]
+    mapping = spark.createDataFrame(_driver_union_find(rows),
+                                    ["entity", "canonical"])
+    return assemble_canonical_triples(mentions, media_spans(docs), mapping)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles: regenerate the md5-family corpus in SQL and re-derive each
 # stage. The shared prefix mirrors kg/datagen.py line by line.
@@ -230,6 +250,7 @@ KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_mentions": kg_mentions,
     "kg_canonical_mapping": kg_canonical_mapping,
     "kg_pipeline_triples": kg_pipeline_triples,
+    "kg_pipeline_fused_triples": kg_pipeline_fused_triples,
 }
 
 KG_ORACLES: Dict[str, str] = {
@@ -237,4 +258,5 @@ KG_ORACLES: Dict[str, str] = {
     "kg_mentions": ORACLE_KG_MENTIONS,
     "kg_canonical_mapping": ORACLE_KG_CANONICAL,
     "kg_pipeline_triples": ORACLE_KG_TRIPLES,
+    "kg_pipeline_fused_triples": ORACLE_KG_TRIPLES,
 }

@@ -526,6 +526,55 @@ def _region_json(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _region_csv_semicolon(spark: SparkSession, sf_dir: str) -> str:
+    import csv
+
+    path = os.path.join(_derived_dir(sf_dir), "region_semi.csv")
+    if not os.path.exists(path):
+        rows = (
+            spark.read.parquet(f"{sf_dir}/region.parquet")
+            .orderBy("r_regionkey").collect()
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w", newline="") as f:
+            w = csv.writer(f, delimiter=";")
+            w.writerow(["r_regionkey", "r_name"])
+            for r in rows:
+                w.writerow([r["r_regionkey"], r["r_name"]])
+        os.replace(tmp, path)
+    return path
+
+
+_CSVW_SOURCE_MAP = """
+@prefix csvw: <http://www.w3.org/ns/csvw#> .
+<#RegCsvw> rml:logicalSource [
+    rml:source [ csvw:url "{{ csvw_path }}" ;
+                 csvw:dialect [ csvw:delimiter ";" ] ] ;
+    rml:referenceFormulation ql:CSV ] ;
+  rr:subjectMap [ rr:template "http://ex.com/region/{r_regionkey}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ;
+    rr:objectMap [ rml:reference "r_name" ] ] .
+"""
+
+
+def q_csvw_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 in the driver: csvw:url + csvw:dialect non-default delimiter."""
+    path = _region_csv_semicolon(spark, sf_dir)
+    plan = parse_mapping(_PRELUDE + _CSVW_SOURCE_MAP,
+                         template_vars={"csvw_path": path})
+    return RMLCompiler(spark, plan).compile()
+
+
+ORACLE_CSVW_SOURCE = """
+SELECT DISTINCT
+  '<http://ex.com/region/' || r_regionkey || '>' AS s,
+  '<http://ex.com/name>' AS p,
+  '"' || r_name || '"' AS o,
+  CAST(NULL AS VARCHAR) AS g
+FROM region
+"""
+
+
 _CSV_SOURCE_MAP = """
 <#NatCsv> rml:logicalSource [ rml:source "{{ csv_path }}" ;
                               rml:referenceFormulation ql:CSV ] ;
@@ -665,6 +714,7 @@ RML_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rml_eval_template": q_eval_template,
     "rml_samesource_rom": q_samesource_rom,
     "rml_csv_source": q_csv_source,
+    "rml_csvw_source": q_csvw_source,
     "rml_json_source": q_json_source,
     "rml_xml_source": q_xml_source,
 }
@@ -684,6 +734,7 @@ RML_ORACLES: Dict[str, str] = {
     "rml_eval_template": ORACLE_EVAL,
     "rml_samesource_rom": ORACLE_SAMESOURCE,
     "rml_csv_source": ORACLE_CSV_SOURCE,
+    "rml_csvw_source": ORACLE_CSVW_SOURCE,
     "rml_json_source": ORACLE_JSON_SOURCE,
     "rml_xml_source": ORACLE_XML_SOURCE,
 }
