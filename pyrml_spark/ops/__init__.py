@@ -27,7 +27,7 @@ from .similarity import (
     embedding_cosine_neardup,
     lsh_cosine_neardup,
 )
-from .multimodal import media_features
+from .multimodal import ORACLE_MEDIA_FEATURES, media_features
 from .sessions import ORACLE_SESSIONIZE, events_sessionize
 from .textstats import (
     ORACLE_FINGERPRINT,
@@ -64,10 +64,11 @@ OPS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": events_sessionize,
 }
 
-# media_features is the one rows-only check left (deterministic FAKE codec —
-# an honest environment stub); every other op is oracle-checked, including
-# ann_lsh_buckets (hyperplane constants inlined into the SQL; both engines
-# fold the dot product sequentially in float64 so sign bits agree exactly).
+# every op is oracle-checked: ann_lsh_buckets inlines its hyperplane
+# constants into the SQL (both engines fold the dot product sequentially in
+# float64 so sign bits agree exactly); media_features' fake payloads are
+# md5-seeded with a sha256 body, so DuckDB re-derives even the checksum
+# computed on the far side of the mapInPandas decode.
 OPS_ORACLES: Dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
@@ -82,4 +83,5 @@ OPS_ORACLES: Dict[str, str] = {
     "text_token_count": ORACLE_TOKEN_COUNT,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "events_sessionize": ORACLE_SESSIONIZE,
+    "media_features": ORACLE_MEDIA_FEATURES,
 }
