@@ -141,3 +141,21 @@ def test_sql_source_parses_to_jdbc_reader_config():
     q = by_iri["#Q"].sources[0]
     assert q.kind == "sql"
     assert q.query == "SELECT id, name FROM emp WHERE act=1"
+
+
+def test_xml_source_parallel_across_files(spark, tmp_path):
+    """S4 scale shape: a DIRECTORY of XML documents — one wholetext row per
+    file, parsed on executors; schema probed from the first file."""
+    from pyrml_spark.sources import load_xml_source
+
+    for i in range(3):
+        (tmp_path / f"part{i}.xml").write_text(
+            f'<people xmlns:h="http://ex.com/h">'
+            f'<h:person id="{i}a"><h:name>N{i}a</h:name></h:person>'
+            f'<h:person id="{i}b"><h:name>N{i}b</h:name></h:person>'
+            f"</people>"
+        )
+    df = load_xml_source(spark, str(tmp_path), "/people/h:person")
+    rows = {(r["id"], r["name"]) for r in df.collect()}
+    assert rows == {(f"{i}{s}", f"N{i}{s}") for i in range(3) for s in "ab"}
+    assert df.rdd.getNumPartitions() >= 1  # distributed scan, not a driver list

@@ -82,3 +82,37 @@ def test_jaccard_broadcasts_hot_not_rare_side(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the anti-join against the hot set is the only LeftAnti in the plan
     assert re.search(r"LeftAnti, BuildRight", plan), plan
+
+
+def test_kg_assembly_broadcasts_mapping_and_avoids_bnlj(spark):
+    """The canonical-rewrite joins must be broadcast hash joins (the mapping
+    is small by construction) and the assembly must stay BNLJ-free."""
+    from pyrml_spark.kg.datagen import generate_documents
+    from pyrml_spark.kg.extract import (assemble_canonical_triples,
+                                        media_spans, mentions_native,
+                                        sameas_candidates)
+    from pyrml_spark.kg.canonicalize import canonical_mapping
+
+    docs = generate_documents(spark, 200)
+    mentions = mentions_native(docs)
+    mapping = canonical_mapping(sameas_candidates(mentions))
+    out = assemble_canonical_triples(mentions, media_spans(docs), mapping)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_aggregation_is_partial(spark):
+    """The 16 grouped mins must partial-aggregate map-side (two HashAggregate
+    levels around the doc_id exchange) — the 100 TB shape."""
+    import re as _re
+
+    from pyrml_spark.ops.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(minhash_signatures(docs))
+    # string mins plan as SortAggregate; the partial_min level before the
+    # exchange is what bounds the shuffle to 16 hashes per doc per partition
+    assert "partial_min" in plan, plan
+    assert len(_re.findall(r"(Hash|Sort)Aggregate", plan)) >= 2, plan
