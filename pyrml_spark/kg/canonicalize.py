@@ -96,23 +96,35 @@ def rewrite_entities(
     triples: DataFrame,
     mapping: DataFrame,
     entity_prefix: str = "<http://kg.ex/ent/person/",
+    mapping_rows: Optional[int] = None,
 ) -> DataFrame:
     """Rewrite subject/object entity IRIs through the canonical mapping.
 
     The mapping is keyed on the entity *surface key*; IRIs are rebuilt as
-    ``<prefix><canonical>>``. Broadcast when small; at scale this is a pair
-    of hash joins on s/o."""
+    ``<prefix><canonical>>``. Broadcast is CONDITIONAL on size
+    (:func:`pyrml_spark.plans.tuning.maybe_broadcast`): at the north rule's
+    10^12-doc scale the mapping holds every aliased entity — billions of
+    rows — and a forced broadcast OOMs every executor, so above the ceiling
+    this degrades to a pair of shuffle hash joins on s/o (AQE skew-split /
+    ``plans.salting.salted_join`` for celebrity entities). ``mapping_rows``
+    lets callers who already know the count (checkpoint manifest,
+    driver-built mapping) skip the probe job."""
+    from ..plans.tuning import maybe_broadcast
+
     suffix = ">"
-    m = mapping.select(
-        F.concat(F.lit(entity_prefix), F.col("entity"),
-                 F.lit(suffix)).alias("ent_iri"),
-        F.concat(F.lit(entity_prefix), F.col("canonical"),
-                 F.lit(suffix)).alias("canon_iri"),
+    m = maybe_broadcast(
+        mapping.select(
+            F.concat(F.lit(entity_prefix), F.col("entity"),
+                     F.lit(suffix)).alias("ent_iri"),
+            F.concat(F.lit(entity_prefix), F.col("canonical"),
+                     F.lit(suffix)).alias("canon_iri"),
+        ),
+        row_hint=mapping_rows,
     )
-    ms = F.broadcast(m.withColumnRenamed("ent_iri", "s_ent")
-                      .withColumnRenamed("canon_iri", "s_canon"))
-    mo = F.broadcast(m.withColumnRenamed("ent_iri", "o_ent")
-                      .withColumnRenamed("canon_iri", "o_canon"))
+    ms = (m.withColumnRenamed("ent_iri", "s_ent")
+           .withColumnRenamed("canon_iri", "s_canon"))
+    mo = (m.withColumnRenamed("ent_iri", "o_ent")
+           .withColumnRenamed("canon_iri", "o_canon"))
     out = (
         triples.join(ms, triples.s == F.col("s_ent"), "left")
         .join(mo, triples.o == F.col("o_ent"), "left")

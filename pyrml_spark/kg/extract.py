@@ -195,6 +195,7 @@ def sameas_candidates(mentions: DataFrame) -> DataFrame:
 def assemble_canonical_triples(mentions: DataFrame, media: DataFrame,
                                mapping: DataFrame,
                                entity_prefix: str = "<http://kg.ex/ent/",
+                               mapping_rows: int | None = None,
                                ) -> DataFrame:
     """Canonical (s,p,o,g) assembly with CATEGORY-WISE dedup — the scaling
     bottleneck fix for the materialization stage.
@@ -211,19 +212,30 @@ def assemble_canonical_triples(mentions: DataFrame, media: DataFrame,
       * hasMedia / mediaKind — dedup on (s,o), short strings
       * owl:sameAs — distinct by construction (mapping is one row per entity)
 
-    Canonical rewrite happens BEFORE dedup (broadcast join, no shuffle), so
-    alias-merged duplicates collapse exactly as the global dedup did; the
-    union of per-category dedups equals the global dedup because no two
-    categories share a predicate. Shuffled bytes drop ~4-8× (constants never
-    travel; type/surface shuffles collapse to entity cardinality).
+    Canonical rewrite happens BEFORE dedup, so alias-merged duplicates
+    collapse exactly as the global dedup did; the union of per-category
+    dedups equals the global dedup because no two categories share a
+    predicate. Shuffled bytes drop ~4-8× (constants never travel;
+    type/surface shuffles collapse to entity cardinality).
+
+    The rewrite join broadcasts the mapping only when it is provably small
+    (``maybe_broadcast``; pass ``mapping_rows`` when the caller already knows
+    the count — lineage manifest or driver union-find). At 10^12-doc scale
+    the mapping is billions of aliases and the join degrades to shuffle hash
+    joins with AQE skew handling instead of OOMing every executor.
     """
+    from ..plans.tuning import maybe_broadcast
+
     person_prefix = entity_prefix + "person/"
-    m = F.broadcast(mapping.select(
-        F.concat(F.lit(person_prefix), F.col("entity"), F.lit(">"))
-        .alias("ent_iri"),
-        F.concat(F.lit(person_prefix), F.col("canonical"), F.lit(">"))
-        .alias("canon_iri"),
-    ))
+    m = maybe_broadcast(
+        mapping.select(
+            F.concat(F.lit(person_prefix), F.col("entity"), F.lit(">"))
+            .alias("ent_iri"),
+            F.concat(F.lit(person_prefix), F.col("canonical"), F.lit(">"))
+            .alias("canon_iri"),
+        ),
+        row_hint=mapping_rows,
+    )
     ment_g = F.lit("<http://kg.ex/graph/mentions>")
     media_g = F.lit("<http://kg.ex/graph/media>")
     doc = F.concat(F.lit("<http://kg.ex/doc/"), F.col("doc_id"), F.lit(">"))

@@ -50,12 +50,19 @@ class StageRecord:
 
 class StageRunner:
     def __init__(self, spark: SparkSession, base_dir: str,
-                 collect_partition_lineage: bool = True):
+                 collect_partition_lineage: bool = True,
+                 stage_dir: str | None = None):
+        """``stage_dir``: where stage parquet checkpoints land (default
+        ``<base_dir>/stages``). Splitting it from the manifest dir lets
+        benches put the checkpoint I/O on fast storage (tmpfs as the
+        object-store stand-in) while the manifest stays durable — on a
+        cluster this is the S3/HDFS checkpoint prefix."""
         self.spark = spark
         self.base_dir = base_dir
         self.manifest_path = os.path.join(base_dir, "manifest.jsonl")
         self.collect_partition_lineage = collect_partition_lineage
-        os.makedirs(os.path.join(base_dir, "stages"), exist_ok=True)
+        self.stage_dir = stage_dir or os.path.join(base_dir, "stages")
+        os.makedirs(self.stage_dir, exist_ok=True)
         self._manifest: Dict[tuple, dict] = {}
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
@@ -75,7 +82,7 @@ class StageRunner:
     ) -> DataFrame:
         """Run (or resume) a stage. Returns the checkpointed DataFrame."""
         key = (name, input_fp)
-        path = os.path.join(self.base_dir, "stages", name)
+        path = os.path.join(self.stage_dir, name)
         rec = self._manifest.get(key)
         if rec is not None and os.path.exists(rec["path"]):
             return self.spark.read.parquet(rec["path"])
@@ -87,15 +94,19 @@ class StageRunner:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
         out = self.spark.read.parquet(path)
-        rows = out.count()
         per_partition = []
         if self.collect_partition_lineage:
+            # one job yields BOTH the per-partition lineage and (by summing)
+            # the total row count — the separate count() job is redundant
             per_partition = [
                 {"partition": r["pid"], "rows": r["rows"]}
                 for r in out.groupBy(
                     F.spark_partition_id().alias("pid")
                 ).agg(F.count(F.lit(1)).alias("rows")).collect()
             ]
+            rows = sum(p["rows"] for p in per_partition)
+        else:
+            rows = out.count()
         record = StageRecord(
             stage=name,
             input_fingerprint=input_fp,
@@ -115,6 +126,13 @@ class StageRunner:
         """Free-form manifest entry (e.g. per-iteration CC convergence)."""
         with open(self.manifest_path, "a") as f:
             f.write(json.dumps({"stage": stage, "event": payload}) + "\n")
+
+    def stage_rows(self, name: str, input_fp: str) -> Optional[int]:
+        """Recorded row count for a completed stage (None if not run) —
+        lets downstream planning (e.g. conditional broadcasts) reuse the
+        manifest instead of spending a count job."""
+        rec = self._manifest.get((name, input_fp))
+        return None if rec is None else rec.get("rows")
 
     def stage_fingerprints(self) -> Dict[str, str]:
         return {k[0]: k[1] for k in self._manifest}

@@ -46,6 +46,28 @@ class KGPipelineConfig:
     final_repartition: bool = True          # False: skip the bucket exchange
                                             # (fused bench path; dedup's own
                                             # shuffle already colocates rows)
+    checkpoint_dir: Optional[str] = None    # stage-parquet location when it
+                                            # should differ from work_dir
+                                            # (benches: tmpfs; cluster: the
+                                            # object-store checkpoint prefix)
+    collect_extra_metrics: bool = True      # distinct-subject/graph counts on
+                                            # the final table (one extra agg
+                                            # job; off for throughput runs)
+
+
+def _public_input_tag(documents: DataFrame) -> str:
+    """Resume identity for a caller-supplied input, from public surface only:
+    schema JSON + an order-independent hash of a bounded row sample (one
+    small job). Stable across sessions for the same stored input; callers
+    with a real dataset identity should pass ``input_tag`` instead."""
+    import hashlib
+
+    h = hashlib.sha256(documents.schema.json().encode())
+    sample = documents.limit(64).collect()
+    for row_repr in sorted(repr(r) for r in sample):
+        h.update(row_repr.encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
 
 
 def run_pipeline(
@@ -60,6 +82,7 @@ def run_pipeline(
     runner = StageRunner(
         spark, work_dir,
         collect_partition_lineage=config.collect_partition_lineage,
+        stage_dir=config.checkpoint_dir,
     )
     cfg_fp = fingerprint(
         config.n_docs, config.use_pandas_extractor, config.n_subject_buckets,
@@ -76,10 +99,13 @@ def run_pipeline(
         # external input: mix an identity of the DataFrame into the
         # fingerprint, else stage fingerprints collide across different
         # caller-supplied inputs and resume would reuse stale checkpoints.
-        # Caller may pass input_tag for a stable, resumable identity;
-        # default is the plan's analyzed string (content-structural, changes
-        # whenever the input expression changes).
-        tag = input_tag or documents._jdf.queryExecution().analyzed().toString()
+        # Caller should pass input_tag for a stable, resumable identity
+        # (dataset name + version). Fallback derives a tag from PUBLIC
+        # surface only — schema JSON + a bounded content sample hash (the
+        # earlier analyzed-plan string was a private JVM API that breaks
+        # under Spark Connect and embeds session-specific expression ids, so
+        # the same input never resumed across sessions).
+        tag = input_tag or _public_input_tag(documents)
         docs_fp = fingerprint("docs-ext", cfg_fp, tag)
         docs = documents
 
@@ -106,6 +132,9 @@ def run_pipeline(
         )
 
     mapping = runner.run("canonical_mapping", mapping_fp, build_mapping)
+    # manifest already holds the mapping's row count — reuse it for the
+    # conditional-broadcast decision instead of a probe job
+    mapping_rows = runner.stage_rows("canonical_mapping", mapping_fp)
 
     triples_fp = fingerprint("triples", mentions_fp, media_fp, mapping_fp)
 
@@ -113,7 +142,8 @@ def run_pipeline(
         # category-wise assembly: rewrite-then-dedup per disjoint predicate
         # group — equals the old global dropDuplicates with ~4-8× fewer
         # shuffled bytes (see assemble_canonical_triples)
-        canon = assemble_canonical_triples(mentions, media, mapping)
+        canon = assemble_canonical_triples(mentions, media, mapping,
+                                           mapping_rows=mapping_rows)
         out = canon.withColumn(
             "subject_bucket",
             F.pmod(F.xxhash64("s"), F.lit(config.n_subject_buckets)).cast("int"),
@@ -126,13 +156,21 @@ def run_pipeline(
         )
         return out
 
+    extra = None
+    if config.collect_extra_metrics:
+        # ONE multi-aggregate job, not one full-table job per metric
+        def extra(df: DataFrame) -> dict:
+            row = df.agg(
+                F.countDistinct("s").alias("distinct_subjects"),
+                F.countDistinct("g").alias("graphs"),
+            ).collect()[0]
+            return {"distinct_subjects": row["distinct_subjects"],
+                    "graphs": row["graphs"]}
+
     return runner.run(
         "triples", triples_fp, build_triples,
         partition_by=["subject_bucket"],
-        extra_metrics=lambda df: {
-            "distinct_subjects": df.select("s").distinct().count(),
-            "graphs": df.select("g").distinct().count(),
-        },
+        extra_metrics=extra,
     )
 
 
@@ -202,9 +240,12 @@ def run_pipeline_fused(
         edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]
         pairs = _driver_union_find(edge_rows)
         mapping = spark.createDataFrame(pairs, ["entity", "canonical"])
+        mapping_rows = len(pairs)
     else:  # pragma: no cover - exercised only at true scale
         mapping = canonical_mapping(edges, max_iter=config.cc_max_iter)
-    canon = assemble_canonical_triples(mentions, media_spans(docs), mapping)
+        mapping_rows = None  # maybe_broadcast probes (bounded limit-count)
+    canon = assemble_canonical_triples(mentions, media_spans(docs), mapping,
+                                       mapping_rows=mapping_rows)
     out = canon.withColumn(
         "subject_bucket",
         F.pmod(F.xxhash64("s"), F.lit(config.n_subject_buckets)).cast("int"),

@@ -50,9 +50,14 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
+  -- CAST to BIGINT: DuckDB's windowed sum over integers yields HUGEINT,
+  -- which the pandas bridge materializes as float64 ("7.0"), breaking the
+  -- driver's stringified row hash against Spark's bigint "7" even though
+  -- the values are bit-identical (round-2 red row).
   SELECT user_id, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM g
 )
 SELECT user_id, session_id,

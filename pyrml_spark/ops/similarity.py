@@ -59,11 +59,33 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str,
             cosine(F.col("q_emb"), F.col("c_emb")).alias("sim_raw"),
         )
     )
+    # Two-phase top-k. A single window over query_id ranks the WHOLE corpus
+    # in n_queries reduce tasks — an 8-task bottleneck stage at any scale.
+    # Phase 1 pre-reduces per input partition: grouping on
+    # (spark_partition_id, query_id) puts every row of a group in one map
+    # partition, so the hash aggregate completes map-side and only k structs
+    # per (partition, query) cross the shuffle. The struct sorts as
+    # (-sim, neighbor_id) ascending = sim desc with neighbor_id tie-break —
+    # the same total order as the final window, so the global top-k is exact.
+    local_top = (
+        scored
+        .groupBy(F.spark_partition_id().alias("part"), "query_id")
+        .agg(F.slice(
+            F.sort_array(F.collect_list(F.struct(
+                (-F.col("sim_raw")).alias("neg_sim"),
+                F.col("neighbor_id"),
+                F.col("sim_raw"),
+            ))), 1, k).alias("top"))
+        .select("query_id", F.explode("top").alias("t"))
+        .select("query_id", F.col("t.neighbor_id").alias("neighbor_id"),
+                F.col("t.sim_raw").alias("sim_raw"))
+    )
+    # Phase 2: global rank over ≤ n_parts·k survivors per query — trivial.
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_raw").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local_top.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank",
                 F.round("sim_raw", SIM_DECIMALS).alias("sim"))
@@ -329,7 +351,17 @@ def lsh_cosine_neardup(emb: DataFrame,
                 "sig": sigs.reshape(-1),
             })
 
-    banded = emb.mapInPandas(banded_sigs, "vec_id long, band int, sig long")
+    # persist: `banded` feeds both sides of the candidate self-join and
+    # `withnorm` joins twice into the verify — without a persist each
+    # consumer re-runs the signature matmul / norm fold (ReusedExchange only
+    # sometimes saves the self-join). MEMORY_AND_DISK so big corpora spill
+    # instead of OOM; entries are LRU-evicted, callers may clearCache().
+    from pyspark import StorageLevel
+
+    banded = (
+        emb.mapInPandas(banded_sigs, "vec_id long, band int, sig long")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -344,7 +376,8 @@ def lsh_cosine_neardup(emb: DataFrame,
     # candidate pair — not dot+2 norms per pair (3× interpreted higher-order
     # work on every candidate)
     withnorm = emb.select("vec_id", "embedding",
-                          _norm(F.col("embedding")).alias("nrm"))
+                          _norm(F.col("embedding")).alias("nrm")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     ea = withnorm.select(F.col("vec_id").alias("vec_a"),
                          F.col("embedding").alias("e_a"),
                          F.col("nrm").alias("n_a"))
