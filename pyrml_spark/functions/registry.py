@@ -195,6 +195,27 @@ def strptime_to_java(pattern: str) -> str:
     return out
 
 
+# strict two-digit (java-default) widths — used as a fallback when numeric
+# tokens are ADJACENT in the strptime pattern (e.g. %Y%m%d): the flexible
+# single-letter translation 'yyyyMd' parses greedily and rejects '20200102',
+# where Python's strptime (bounded-width regex with backtracking) accepts it.
+_STRPTIME_FIXED_MAP = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"),
+    ("%f", "SSSSSS"), ("%B", "MMMM"), ("%b", "MMM"), ("%A", "EEEE"),
+    ("%a", "EEE"), ("%p", "a"), ("%z", "Z"), ("%j", "DDD"), ("%%", "%"),
+]
+
+_NUMERIC_ADJACENT_RE = re.compile(r"(?:%[YymdHIMSj]){2}")
+
+
+def strptime_to_java_fixed(pattern: str) -> str:
+    out = pattern
+    for py, java in _STRPTIME_FIXED_MAP:
+        out = out.replace(py, java)
+    return out
+
+
 def _const_str(col: Column) -> Optional[str]:
     """The Python constant carried through the IR by terms.const_lit (set on
     constant term maps and %eval:% literals) — needed where Spark requires a
@@ -264,31 +285,86 @@ _LOCALE_TABLES = {
         "days": ["maandag", "dinsdag", "woensdag", "donderdag", "vrijdag",
                  "zaterdag", "zondag"],
     },
+    # Slavic locales inflect month names in dates ("3 января 2020" genitive
+    # vs nominative "январь") — list entries may be variant lists, all
+    # mapping to the same month number.
+    "ru": {
+        "months": [["января", "январь"], ["февраля", "февраль"],
+                   ["марта", "март"], ["апреля", "апрель"], ["мая", "май"],
+                   ["июня", "июнь"], ["июля", "июль"],
+                   ["августа", "август"], ["сентября", "сентябрь"],
+                   ["октября", "октябрь"], ["ноября", "ноябрь"],
+                   ["декабря", "декабрь"]],
+        "months_abbr": ["янв", "фев", "мар", "апр", "мая", "июн", "июл",
+                        "авг", "сен", "окт", "ноя", "дек"],
+        "days": ["понедельник", "вторник", "среда", "четверг", "пятница",
+                 "суббота", "воскресенье"],
+        "days_abbr": ["пн", "вт", "ср", "чт", "пт", "сб", "вс"],
+    },
+    "sv": {
+        "months": ["januari", "februari", "mars", "april", "maj", "juni",
+                   "juli", "augusti", "september", "oktober", "november",
+                   "december"],
+        "months_abbr": ["jan", "feb", "mars", "apr", "maj", "juni", "juli",
+                        "aug", "sep", "okt", "nov", "dec"],
+        "days": ["måndag", "tisdag", "onsdag", "torsdag", "fredag",
+                 "lördag", "söndag"],
+    },
+    "pl": {
+        "months": [["stycznia", "styczeń"], ["lutego", "luty"],
+                   ["marca", "marzec"], ["kwietnia", "kwiecień"],
+                   ["maja", "maj"], ["czerwca", "czerwiec"],
+                   ["lipca", "lipiec"], ["sierpnia", "sierpień"],
+                   ["września", "wrzesień"],
+                   ["października", "październik"],
+                   ["listopada", "listopad"], ["grudnia", "grudzień"]],
+        "months_abbr": ["sty", "lut", "mar", "kwi", "maj", "cze", "lip",
+                        "sie", "wrz", "paź", "lis", "gru"],
+        "days": ["poniedziałek", "wtorek", "środa", "czwartek", "piątek",
+                 "sobota", "niedziela"],
+        "days_abbr": ["pon", "wt", "śr", "czw", "pt", "sob", "niedz"],
+    },
 }
 
 
 def _localize_to_numeric(col: Column, fmt: str, tbl: dict):
     """Replace locale month names in the input with zero-padded numbers
     (pattern token → %m) and strip weekday names; longest names first so a
-    full name is never half-eaten by an abbreviation."""
+    full name is never half-eaten by an abbreviation.
+
+    Weekdays are stripped BEFORE month replacement and every name regex is
+    word-boundary anchored: where a month abbr collides with a weekday abbr
+    (es 'mar' = marzo AND martes) the month pass would otherwise rewrite the
+    weekday token to a number, leaving a stray field and a NULL parse."""
+    for tok in ("%A", "%a"):
+        if tok in fmt:
+            names = tbl["days"] if tok == "%A" else (
+                tbl.get("days_abbr") or [d[:3] for d in tbl["days"]])
+            for name in sorted(names, key=len, reverse=True):
+                # strip ONLY the first occurrence (^-anchored lazy prefix;
+                # with no MULTILINE a ^ pattern matches at most once): when a
+                # weekday abbr equals a month abbr (es/it 'mar'), a global
+                # replace would also eat the month token
+                col = F.regexp_replace(
+                    col,
+                    f"(?iU)^((?:(?!\\b{re.escape(name)}\\b).)*?)"
+                    f"\\b{re.escape(name)}\\b\\.?",
+                    "$1")
+            fmt = fmt.replace(tok, "")
     if "%B" in fmt:
-        for num, name in sorted(enumerate(tbl["months"], 1),
-                                key=lambda kv: -len(kv[1])):
-            col = F.regexp_replace(col, f"(?iu){re.escape(name)}", f"{num:02d}")
+        flat = [(num, v)
+                for num, entry in enumerate(tbl["months"], 1)
+                for v in (entry if isinstance(entry, list) else [entry])]
+        for num, name in sorted(flat, key=lambda kv: -len(kv[1])):
+            col = F.regexp_replace(col, f"(?iU)\\b{re.escape(name)}\\b",
+                                   f"{num:02d}")
         fmt = fmt.replace("%B", "%m")
     if "%b" in fmt:
         for num, name in sorted(enumerate(tbl["months_abbr"], 1),
                                 key=lambda kv: -len(kv[1])):
-            col = F.regexp_replace(col, f"(?iu){re.escape(name)}\\.?",
+            col = F.regexp_replace(col, f"(?iU)\\b{re.escape(name)}\\b\\.?",
                                    f"{num:02d}")
         fmt = fmt.replace("%b", "%m")
-    for tok in ("%A", "%a"):
-        if tok in fmt:
-            names = tbl["days"] if tok == "%A" else [
-                d[:3] for d in tbl["days"]]
-            for name in sorted(names, key=len, reverse=True):
-                col = F.regexp_replace(col, f"(?iu){re.escape(name)}\\.?", "")
-            fmt = fmt.replace(tok, "")
     # collapse whitespace runs the removals may have left, both sides
     col = F.trim(F.regexp_replace(col, r"\s+", " "))
     fmt = re.sub(r"\s+", " ", fmt).strip()
@@ -302,6 +378,16 @@ def _normalize_date(date: Column, pattern: Column, lang: Column = None,
         raise ValueError("normalizeDate*: pattern must be a constant")
     java = strptime_to_java(fmt)
     ts = F.try_to_timestamp(date.cast("string"), F.lit(java))
+    if _NUMERIC_ADJACENT_RE.search(fmt):
+        # separator-less numeric run: coalesce over both translations so
+        # '20200102' (%Y%m%d) parses via strict widths while '3.10.2020'
+        # style unpadded inputs keep the flexible path — try_to_timestamp
+        # makes a silent NULL otherwise (dropped triple)
+        ts = F.coalesce(
+            ts,
+            F.try_to_timestamp(date.cast("string"),
+                               F.lit(strptime_to_java_fixed(fmt))),
+        )
     if to == "date":
         return F.date_format(ts, "yyyy-MM-dd")
     frac = F.date_format(ts, "SSSSSS")

@@ -128,24 +128,45 @@ def escape_angle(col: Column) -> Column:
 
 
 # transliteration standing in for unidecode (not installed): Latin-1 +
-# Latin-Extended-A single-char mappings via translate, multi-char
-# expansions (æ→ae, ß→ss, …) via a replace chain; scripts beyond Latin
-# pass through (documented gap vs unidecode's full coverage)
+# Latin-Extended-A + Greek + Cyrillic single-char mappings via translate,
+# multi-char expansions (æ→ae, ß→ss, θ→th, ж→zh, …) via a replace chain;
+# remaining scripts (CJK, Arabic, …) pass through (documented gap vs
+# unidecode's full coverage). Greek/Cyrillic target strings follow
+# unidecode's published tables (η→e, χ→kh, щ→shch, …).
 _TRANSLIT_SRC = (
     "àáâãäåèéêëìíîïòóôõöùúûüýÿñçÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÑÇ"
     "āăąćĉċčďđēĕėęěĝğġģĥīĭįıĵķĺļľŀłńņňŉōŏőŕŗřśŝşšţťŧũūŭůűųŵŷźżž"
     "ĀĂĄĆĈĊČĎĐĒĔĖĘĚĜĞĠĢĤĪĬĮİĴĶĹĻĽĿŁŃŅŇŌŎŐŔŖŘŚŜŞŠŢŤŦŨŪŬŮŰŲŴŶŹŻŽ"
+    "αβγδεζηικλμνξοπρσςτυωάέήίόύώϊϋΐΰ"
+    "ΑΒΓΔΕΖΗΙΚΛΜΝΞΟΠΡΣΤΥΩΆΈΉΊΌΎΏΪΫ"
+    "абвгдезийклмнопрстуфыэёі"
+    "АБВГДЕЗИЙКЛМНОПРСТУФЫЭЁІ"
 )
 _TRANSLIT_DST = (
     "aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNC"
     "aaaccccddeeeeegggghiiiijklllllnnnnooorrrsssstttuuuuuuwyzzz"
     "AAACCCCDDEEEEEGGGGHIIIIJKLLLLLNNNOOORRRSSSSTTTUUUUUUWYZZZ"
+    "abgdezeiklmnxoprsstuoaeeiouoiuiu"
+    "ABGDEZEIKLMNXOPRSTUOAEEIOUOIU"
+    "abvgdeziiklmnoprstufyeei"
+    "ABVGDEZIIKLMNOPRSTUFYEEI"
 )
-# multi-char expansions translate() cannot express
+# multi-char expansions (and deletions) translate() cannot express
 _TRANSLIT_MULTI = [("æ", "ae"), ("Æ", "AE"), ("œ", "oe"), ("Œ", "OE"),
                    ("ß", "ss"), ("ø", "o"), ("Ø", "O"), ("ð", "d"),
                    ("Ð", "D"), ("þ", "th"), ("Þ", "Th"), ("ĳ", "ij"),
-                   ("Ĳ", "IJ")]
+                   ("Ĳ", "IJ"),
+                   # Greek digraph letters
+                   ("θ", "th"), ("Θ", "Th"), ("φ", "ph"), ("Φ", "Ph"),
+                   ("χ", "kh"), ("Χ", "Kh"), ("ψ", "ps"), ("Ψ", "Ps"),
+                   # Cyrillic digraphs; hard/soft signs delete
+                   ("ж", "zh"), ("Ж", "Zh"), ("х", "kh"), ("Х", "Kh"),
+                   ("ц", "ts"), ("Ц", "Ts"), ("ч", "ch"), ("Ч", "Ch"),
+                   ("щ", "shch"), ("Щ", "Shch"), ("ш", "sh"), ("Ш", "Sh"),
+                   ("ю", "yu"), ("Ю", "Yu"), ("я", "ya"), ("Я", "Ya"),
+                   ("ъ", ""), ("Ъ", ""), ("ь", ""), ("Ь", ""),
+                   ("ї", "yi"), ("Ї", "Yi"), ("є", "ie"), ("Є", "Ie"),
+                   ("ґ", "g"), ("Ґ", "G")]
 
 
 def irify_full(col: Column) -> Column:

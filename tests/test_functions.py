@@ -144,6 +144,16 @@ def test_hash_and_date_functions(spark, reg):
                              (IDLAB + "strDate", F.lit("23/12/1919 10:30")),
                              (IDLAB + "pattern", const_lit("%d/%m/%Y %H:%M")))) \
         == "1919-12-23T10:30:00"
+    # separator-less pattern (%Y%m%d): the flexible 'yyyyMd' translation
+    # parses greedily and returns NULL — the fixed-width coalesce fallback
+    # must recover Python strptime's behavior (ADVICE r2 medium item)
+    assert run1(spark, build(reg, IDLAB + "normalizeDate",
+                             (IDLAB + "strDate", F.lit("20200102")),
+                             (IDLAB + "pattern", const_lit("%Y%m%d")))) == "2020-01-02"
+    assert run1(spark, build(reg, IDLAB + "normalizeDateTime",
+                             (IDLAB + "strDate", F.lit("19191223 1030")),
+                             (IDLAB + "pattern", const_lit("%Y%m%d %H%M")))) \
+        == "1919-12-23T10:30:00"
 
 
 def test_short_uuid_matches_published_algorithm(spark, reg):
@@ -194,6 +204,17 @@ def test_normalize_date_with_lang_locales(spark, reg):
         ("12 ago 2001", "%d %b %Y", "es_ES", "2001-08-12"),
         ("sábado 12 agosto 2001", "%A %d %B %Y", "es", "2001-08-12"),
         ("23/12/1919", "%d/%m/%Y", "en_US", "1919-12-23"),
+        # weekday abbr == month abbr (es 'mar' = martes AND marzo): the
+        # weekday strip must take only the FIRST occurrence (ADVICE r2)
+        ("mar. 3 mar. 2020", "%a %d %b %Y", "es", "2020-03-03"),
+        # accented final letters need unicode word boundaries ((?U))
+        ("lunedì 5 ottobre 2020", "%A %d %B %Y", "it", "2020-10-05"),
+        # new locales: genitive month forms (ru/pl), sv, locale day abbrs
+        ("3 января 2020", "%d %B %Y", "ru_RU", "2020-01-03"),
+        ("март 2021 15", "%B %Y %d", "ru", "2021-03-15"),
+        ("12 października 2019", "%d %B %Y", "pl_PL", "2019-10-12"),
+        ("pon 7 maj 2018", "%a %d %b %Y", "pl", "2018-05-07"),
+        ("måndag 5 augusti 2020", "%A %d %B %Y", "sv_SE", "2020-08-05"),
     ]
     for value, fmt, lang, expect in cases:
         got = run1(spark, build(

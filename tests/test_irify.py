@@ -36,3 +36,20 @@ def test_irify_latin_extended_and_multichar(spark):
     got = [r["o"] for r in df.select(irify_full(F.col("v")).alias("o")).collect()]
     assert got == ["lukasz_stastny", "caesar_oeuvre", "strasse_ost",
                    "dorde_ijs"], got
+
+
+def test_irify_greek_and_cyrillic(spark):
+    """Round-3: Greek + Cyrillic transliteration (unidecode's two most
+    common non-Latin scripts; target strings follow unidecode's tables —
+    η→e, θ→th, χ→kh, ж→zh, щ→shch, ъ/ь delete)."""
+    got = vals(spark, "v", [
+        "ελληνικά",            # unidecode → ellenika
+        "Θεσσαλονίκη",         # → Thessalonike
+        "ψυχή φως",            # → psukhe phos
+        "кириллица",           # → kirillitsa
+        "Москва объект",       # → Moskva obekt
+        "Щедрик южный",        # → Shchedrik yuzhnyi
+        "Київ Ґанок",          # uk: letter-by-letter → Kiyiv Ganok
+    ])
+    assert got == ["ellenika", "thessalonike", "psukhe_phos", "kirillitsa",
+                   "moskva_obekt", "shchedrik_yuzhnyi", "kiyiv_ganok"], got
