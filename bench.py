@@ -90,7 +90,12 @@ def main() -> None:
         run_pipeline_fused,
     )
 
-    with tempfile.TemporaryDirectory(prefix="kg_bench_") as d:
+    # tmpfs as the object-store stand-in: stage checkpoints + final writes on
+    # the single /tmp virtio disk serialize the commit path and do not scale
+    # with cores (a cluster writes these to S3/HDFS)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+    with tempfile.TemporaryDirectory(prefix="kg_bench_", dir=shm) as d:
         t0 = time.time()
         out = run_pipeline(
             spark, d,
@@ -105,7 +110,7 @@ def main() -> None:
     # extractor is the pluggable model-NER slot, exercised by the
     # checkpointed run above; in local mode its python workers contend with
     # JVM task threads for the same cores)
-    with tempfile.TemporaryDirectory(prefix="kg_bench_f_") as d:
+    with tempfile.TemporaryDirectory(prefix="kg_bench_f_", dir=shm) as d:
         t0 = time.time()
         out = run_pipeline_fused(
             spark, d + "/out",

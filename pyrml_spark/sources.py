@@ -182,6 +182,10 @@ def _xml_rows(content: str, xpath: str) -> List[dict]:
     return rows
 
 
+# how many files of an XML directory the driver-side schema probe unions
+_XML_PROBE_FILES = 8
+
+
 def load_xml_source(
     spark: SparkSession, path: str, iterator: Optional[str]
 ) -> DataFrame:
@@ -192,22 +196,30 @@ def load_xml_source(
     Spark-side: each file is one ``wholetext`` row; parsing (ElementTree +
     XPath + namespaces) runs on EXECUTORS inside ``mapInPandas`` — the scan
     parallelizes across files, which is the realistic 100 TB layout (many
-    XML documents), and the driver never holds document contents. Only the
-    schema probe (first file, driver-side) touches one document up front;
-    all-string columns match the reference's CSV/XML dtype=str semantics."""
+    XML documents), and the driver never holds document contents. The schema
+    is probed driver-side from the column UNION of a bounded file sample
+    (``_XML_PROBE_FILES``, default 8 — the reference's per-file pd.read_xml
+    unions columns across every file); directories whose later files
+    introduce columns absent from the whole sample still lose those columns,
+    so the executor parser warns when it meets an element outside the probed
+    schema. All-string columns match the reference's CSV/XML dtype=str
+    semantics."""
     import glob as _glob
 
     import pandas as pd
 
     xpath = _et_xpath(iterator)
     if os.path.isfile(path):
-        probe_file = path
+        probe_files = [path]
     else:
         matches = sorted(_glob.glob(os.path.join(path, "*"))) or [path]
-        probe_file = matches[0]
-    with open(probe_file, encoding="utf-8") as f:
-        sample_rows = _xml_rows(f.read(), xpath)
-    cols = sorted({k for r in sample_rows for k in r})
+        probe_files = matches[:_XML_PROBE_FILES]
+    col_set: set = set()
+    for probe_file in probe_files:
+        with open(probe_file, encoding="utf-8") as f:
+            col_set.update(
+                k for r in _xml_rows(f.read(), xpath) for k in r)
+    cols = sorted(col_set)
     if not cols:
         return spark.createDataFrame([], T.StructType([]))
     schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
@@ -215,13 +227,25 @@ def load_xml_source(
     raw = spark.read.text(path, wholetext=True)
 
     def parse(batches):
+        import warnings
+
+        col_lookup = set(cols)
         for pdf in batches:
             data = {c: [] for c in cols}
+            unknown: set = set()
             for content in pdf["value"]:
                 for row in _xml_rows(content, xpath):
+                    unknown.update(k for k in row if k not in col_lookup)
                     for c in cols:
                         v = row.get(c)
                         data[c].append(None if v is None else str(v))
+            if unknown:
+                # executor-side stderr; the probed sample missed these
+                warnings.warn(
+                    f"XML source {path}: elements {sorted(unknown)} not in "
+                    f"the probed schema (first {_XML_PROBE_FILES} files) — "
+                    "values dropped; raise pyrml_spark.sources."
+                    "_XML_PROBE_FILES to widen the probe")
             yield pd.DataFrame(data, dtype=object)
 
     return raw.mapInPandas(parse, schema)

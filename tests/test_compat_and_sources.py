@@ -159,3 +159,20 @@ def test_xml_source_parallel_across_files(spark, tmp_path):
     rows = {(r["id"], r["name"]) for r in df.collect()}
     assert rows == {(f"{i}{s}", f"N{i}{s}") for i in range(3) for s in "ab"}
     assert df.rdd.getNumPartitions() >= 1  # distributed scan, not a driver list
+
+
+def test_xml_schema_probe_unions_across_files(spark, tmp_path):
+    """ADVICE r2: columns appearing only in LATER files must survive — the
+    probe unions a sample of files, not just the first (the reference's
+    per-file pd.read_xml unions columns across all files)."""
+    from pyrml_spark.sources import load_xml_source
+
+    (tmp_path / "a.xml").write_text(
+        "<people><person id='1'><name>A</name></person></people>")
+    (tmp_path / "b.xml").write_text(
+        "<people><person id='2'><name>B</name>"
+        "<email>b@x.org</email></person></people>")
+    df = load_xml_source(spark, str(tmp_path), "/people/person")
+    assert set(df.columns) == {"id", "name", "email"}
+    rows = {(r["id"], r["name"], r["email"]) for r in df.collect()}
+    assert rows == {("1", "A", None), ("2", "B", "b@x.org")}
