@@ -116,24 +116,40 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=4)
     args = ap.parse_args()
 
-    # alternate levels across reps to cancel host-load drift; keep best
+    # alternate levels across reps so host-load drift hits both levels
+    # equally; report the PER-PAIR efficiency of each (low_i, high_i)
+    # back-to-back pair plus the median across pairs (the honest headline —
+    # best-of overstates on a shared host) and the best-of levels.
+    ratio = args.high / args.low
+    pairs = []
     low = high = None
-    for _ in range(args.reps):
+    for rep in range(args.reps):
         l = run_level(args.low, args.docs, 1)
         h = run_level(args.high, args.docs, 1)
+        eff = (h["triples_per_sec"] / l["triples_per_sec"]) / ratio
+        pairs.append({"rep": rep, "low": l, "high": h,
+                      "efficiency": round(eff, 3)})
+        print(json.dumps({"rep": rep, "efficiency": round(eff, 3),
+                          "low_sec": l["elapsed_sec"],
+                          "high_sec": h["elapsed_sec"]}), file=sys.stderr)
         if low is None or l["elapsed_sec"] < low["elapsed_sec"]:
             low = l
         if high is None or h["elapsed_sec"] < high["elapsed_sec"]:
             high = h
-    ratio = args.high / args.low
-    efficiency = (high["triples_per_sec"] / low["triples_per_sec"]) / ratio
+    effs = sorted(p["efficiency"] for p in pairs)
+    n = len(effs)
+    median = effs[n // 2] if n % 2 else (effs[n // 2 - 1] + effs[n // 2]) / 2
+    best_of = (high["triples_per_sec"] / low["triples_per_sec"]) / ratio
     result = {
         "job": "kg_pipeline_fused (generate→extract→canonicalize→materialize, single write)",
         "n_docs": args.docs,
         "low": low,
         "high": high,
         "parallelism_ratio": ratio,
-        "scaling_efficiency": round(efficiency, 3),
+        "scaling_efficiency": round(median, 3),
+        "scaling_efficiency_median": round(median, 3),
+        "scaling_efficiency_best_of": round(best_of, 3),
+        "per_pair": pairs,
         "target": 0.8,
     }
     with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as f:

@@ -237,9 +237,17 @@ def run_pipeline_fused(
     # partition scans bypass and partially populate the persist cache.)
     probe = edges.count()
     if probe <= DRIVER_UNION_FIND_MAX_EDGES:
-        edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]
-        pairs = _driver_union_find(edge_rows)
-        mapping = spark.createDataFrame(pairs, ["entity", "canonical"])
+        import pandas as pd
+
+        # Arrow both ways: .collect()'s per-Row materialization and
+        # createDataFrame-from-tuples' per-row pickling are driver-serial
+        # costs that Amdahl straight off the scaling efficiency; toPandas /
+        # from-pandas move the same data as Arrow record batches.
+        epdf = edges.toPandas()
+        pairs = _driver_union_find(
+            zip(epdf["src"].tolist(), epdf["dst"].tolist()))
+        mapping = spark.createDataFrame(
+            pd.DataFrame(pairs, columns=["entity", "canonical"]))
         mapping_rows = len(pairs)
     else:  # pragma: no cover - exercised only at true scale
         mapping = canonical_mapping(edges, max_iter=config.cc_max_iter)
