@@ -174,6 +174,13 @@ def sameas_candidates(mentions: DataFrame) -> DataFrame:
     )
     linked = ents.filter(F.col("surface").endswith("_aka")
                          | F.col("surface").endswith("_aka2"))
+    # materialize the (tiny: aliased surfaces only) linked set ONCE — both
+    # branches below otherwise re-derive the full mentions scan + distinct
+    # as separate plan subtrees, doubling the heaviest stage of the edge
+    # derivation (event-log verified: two concurrent 128-task stages racing
+    # to build the same cache). Lazy local checkpoint: first action computes
+    # one scan, both branches then read the checkpointed partitions.
+    linked = linked.localCheckpoint(eager=False)
     one_hop = linked.select(
         F.col("surface").alias("src"),
         F.when(F.col("surface").endswith("_aka2"),
