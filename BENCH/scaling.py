@@ -34,6 +34,7 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .appName(f"kg_scaling_{{cpus}}")
          .config("spark.sql.shuffle.partitions", "64")
          .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.driver.memory", os.environ.get("SPARK_BENCH_MEM", "48g"))
          .config("spark.driver.extraJavaOptions",
