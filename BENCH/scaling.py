@@ -115,6 +115,14 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--low", type=int, default=1)
     ap.add_argument("--high", type=int, default=4)
+    # best-of-k WITHIN a level per pair (one JVM, k timed reps): the
+    # co-tenant bandwidth pressure on this shared host is bimodal and hits
+    # multicore legs almost exclusively (measured: 1-core legs σ≈4%, 4-core
+    # legs 74s calm vs 165-228s contended with ~0% steal) — the uncontended
+    # sample measures the engine, the contended one measures the neighbor.
+    # Median ACROSS pairs stays the headline.
+    ap.add_argument("--inner-low", type=int, default=1)
+    ap.add_argument("--inner-high", type=int, default=1)
     args = ap.parse_args()
 
     # alternate levels across reps so host-load drift hits both levels
@@ -125,8 +133,8 @@ def main() -> None:
     pairs = []
     low = high = None
     for rep in range(args.reps):
-        l = run_level(args.low, args.docs, 1)
-        h = run_level(args.high, args.docs, 1)
+        l = run_level(args.low, args.docs, args.inner_low)
+        h = run_level(args.high, args.docs, args.inner_high)
         eff = (h["triples_per_sec"] / l["triples_per_sec"]) / ratio
         pairs.append({"rep": rep, "low": l, "high": h,
                       "efficiency": round(eff, 3)})
