@@ -2,17 +2,27 @@
 sameAs links (north_rule), as iterative min-label propagation with
 checkpointing to cut lineage (SURVEY.md §7 step 6).
 
-Algorithm: alternating-direction min-label propagation —
-    label(v) ← min(label(v), min label over neighbors)
-iterated to fixpoint. Each iteration is two hash joins on the edge table;
-``localCheckpoint`` every iteration truncates the logical plan so the loop
-stays O(iter) not O(2^iter) at plan level; convergence is detected with an
-aggregate (changed-count). Bounded by ``max_iter`` with a loud failure, and
-every iteration's metrics land in the lineage manifest.
+Algorithm: min-label propagation with pointer doubling —
+    label(v) ← min(label(v), min label over neighbors)     (propagate)
+    label(v) ← min(label(v), label(label(v)))              (double)
+iterated to fixpoint. The propagate step alone moves a label one hop per
+round (O(diameter) rounds — on a sameAs chain of length d it needs d
+iterations); the doubling step jumps each node to its current
+representative's representative, so the distance-to-root roughly halves
+every round and convergence is O(log diameter) rounds total (the classic
+pointer-jumping / path-halving bound — e.g. Shiloach–Vishkin style CC).
+A 500-node alias chain converges in ~10 rounds instead of 500
+(``tests/test_kg_pipeline.py::test_cc_pointer_doubling_long_chain``).
 
-At 10^12-doc scale the edge table is huge but each iteration is a pair of
-shuffles on the same key — AQE handles skew (celebrity entities) and the
-label table shrinks as components converge.
+Each iteration is three hash joins (two on the edge table, one label
+self-join); ``localCheckpoint`` every iteration truncates the logical plan
+so the loop stays O(iter) not O(2^iter) at plan level; convergence is
+detected with an aggregate (changed-count). Bounded by ``max_iter`` with a
+loud failure, and every iteration's metrics land in the lineage manifest.
+
+At 10^12-doc scale the edge table is huge but each iteration is a fixed
+number of shuffles on the same key — AQE handles skew (celebrity entities)
+and the label table shrinks as components converge.
 """
 
 from __future__ import annotations
@@ -55,17 +65,40 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        half = (
             labels.join(nbr_min, labels.node == nbr_min.src, "left")
             .select(
                 "node",
+                F.col("component").alias("old_component"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("cand"),
+            )
+        )
+        # Pointer doubling: cand(v) ← cand(cand(v)). Labels only ever
+        # decrease (initialized to self, monotone min), so the lookup can't
+        # increase a label; coalesce guards the (impossible in a closed
+        # label table, cheap anyway) missing-key case. Materialized eagerly
+        # because BOTH sides of the self-join read it — a lazy checkpoint
+        # shared by two concurrently-materializing AQE stages re-derives
+        # the whole subtree twice (see BENCH/BASELINE.md, sameAs-subtree
+        # note).
+        half = half.localCheckpoint(eager=True)
+        lut = half.select(F.col("node").alias("lut_node"),
+                          F.col("cand").alias("lut_cand"))
+        new_labels = (
+            half.join(lut, half.cand == F.col("lut_node"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cand"),
+                    F.coalesce(F.col("lut_cand"), F.col("cand")),
                 ).alias("component"),
-                (F.col("nbr_component").isNotNull()
-                 & (F.col("nbr_component") < F.col("component")))
-                .cast("int").alias("changed"),
+                (F.least(
+                    F.col("cand"),
+                    F.coalesce(F.col("lut_cand"), F.col("cand")),
+                 ) < F.col("old_component")).cast("int").alias("changed"),
             )
         )
         # lazy checkpoint + immediate aggregate: the agg action materializes

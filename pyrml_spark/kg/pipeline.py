@@ -57,12 +57,31 @@ class KGPipelineConfig:
 
 def _public_input_tag(documents: DataFrame) -> str:
     """Resume identity for a caller-supplied input, from public surface only:
-    schema JSON + an order-independent hash of a bounded row sample (one
-    small job). Stable across sessions for the same stored input; callers
-    with a real dataset identity should pass ``input_tag`` instead."""
+    schema JSON + a WHOLE-dataset order-independent signal (row count + sum
+    of per-row xxhash64 — one aggregate job) + a bounded row sample hash.
+    The whole-dataset aggregate means an appended/edited input changes the
+    tag even when its first rows are identical, so resume can never silently
+    serve stale stage checkpoints for a grown dataset. The aggregate is one
+    full scan — callers with a real dataset identity (name + version) should
+    pass ``input_tag`` and skip it."""
     import hashlib
+    import logging
 
+    logging.getLogger(__name__).warning(
+        "no input_tag supplied for external documents: deriving one from a "
+        "full-scan content hash (count + xxhash64 sum). Pass input_tag="
+        "'<dataset>@<version>' to make resume identity explicit and skip "
+        "this scan."
+    )
     h = hashlib.sha256(documents.schema.json().encode())
+    agg = documents.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) accumulator: a long sum of xxhash64 values overflows
+        # under ANSI mode on even small inputs
+        F.sum(F.xxhash64(F.struct(*documents.columns))
+              .cast("decimal(38,0)")).alias("xh"),
+    ).collect()[0]
+    h.update(f"n={agg['n']};xh={agg['xh']}".encode())
     sample = documents.limit(64).collect()
     for row_repr in sorted(repr(r) for r in sample):
         h.update(row_repr.encode())
@@ -219,6 +238,7 @@ def run_pipeline_fused(
     spark: SparkSession,
     out_dir: str,
     config: KGPipelineConfig = KGPipelineConfig(),
+    documents: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Same logical pipeline as :func:`run_pipeline` but fused into one
     lazy DAG with a single partitioned write: mentions are persisted in
@@ -227,12 +247,21 @@ def run_pipeline_fused(
     is small (broadcast back as a mapping table), and no intermediate
     parquet checkpoints are written.
 
+    ``documents`` supplies an external corpus (same shape as
+    :func:`~pyrml_spark.kg.datagen.generate_documents`: BASELINE.json's
+    input_hint) — omitted, the synthetic corpus is generated. No
+    ``input_tag`` parameter: fused mode keeps no checkpoints, so there is
+    no resume identity to name.
+
     Use for throughput benching / one-shot runs; use :func:`run_pipeline`
     when stage-level resumability and lineage are required. Results are
     identical (tests assert it)."""
 
-    docs = generate_documents(spark, config.n_docs,
-                              partitions=config.gen_partitions).persist()
+    if documents is None:
+        docs = generate_documents(spark, config.n_docs,
+                                  partitions=config.gen_partitions).persist()
+    else:
+        docs = documents.persist()
     extractor = mentions_pandas if config.use_pandas_extractor else mentions_native
     mentions = extractor(docs).persist()
     edges = sameas_candidates(mentions).persist()
@@ -256,8 +285,14 @@ def run_pipeline_fused(
             pd.DataFrame(pairs, columns=["entity", "canonical"]))
         mapping_rows = len(pairs)
     else:  # pragma: no cover - exercised only at true scale
-        mapping = canonical_mapping(edges, max_iter=config.cc_max_iter)
-        mapping_rows = None  # maybe_broadcast probes (bounded limit-count)
+        # Persist the CC fixpoint result BEFORE anything consumes it:
+        # unpersisted, maybe_broadcast's size probe would re-run the whole
+        # iterative fixpoint once, and the two rewrite joins (s-side and
+        # o-side) would run it again each. The count over the persisted
+        # table doubles as the broadcast row hint, so no probe job either.
+        mapping = canonical_mapping(
+            edges, max_iter=config.cc_max_iter).persist()
+        mapping_rows = mapping.count()
     canon = assemble_canonical_triples(mentions, media_spans(docs), mapping,
                                        mapping_rows=mapping_rows)
     out = canon.withColumn(
@@ -273,4 +308,6 @@ def run_pipeline_fused(
     edges.unpersist()
     mentions.unpersist()
     docs.unpersist()
+    if mapping.is_cached:  # at-scale distributed-CC branch persisted it
+        mapping.unpersist()
     return spark.read.parquet(out_dir)

@@ -57,14 +57,11 @@ def main(argv=None) -> int:
     cfg = KGPipelineConfig(n_docs=args.docs, n_subject_buckets=args.buckets,
                            use_pandas_extractor=False)
     t0 = time.time()
+    documents = (spark.read.parquet(args.input) if args.input else None)
     if args.mode == "fused":
-        if args.input:
-            raise SystemExit("--input requires --mode checkpointed "
-                             "(the fused path generates its corpus)")
-        out = run_pipeline_fused(spark, args.out, cfg)
+        out = run_pipeline_fused(spark, args.out, cfg, documents=documents)
     else:
         work = args.work_dir or (args.out.rstrip("/") + "_work")
-        documents = (spark.read.parquet(args.input) if args.input else None)
         out = run_pipeline(spark, work, cfg, documents=documents,
                            input_tag=args.input_tag)
         out.write.mode("overwrite").partitionBy("subject_bucket") \

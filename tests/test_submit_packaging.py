@@ -53,6 +53,11 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path, spark):
 
     dest = str(tmp_path / "pyrml_spark.zip")
     make_pyfiles_zip(dest)
+    # external corpus through the fused (max-throughput) path — VERDICT r3
+    # #3: real corpora must not be forced onto the checkpointed mode
+    from pyrml_spark.kg.datagen import generate_documents
+    corpus = str(tmp_path / "corpus")
+    generate_documents(spark, 300).write.parquet(corpus)
     out_dir = str(tmp_path / "kg_out")
     proc = subprocess.run(
         [spark_submit, "--master", "local[2]",
@@ -60,7 +65,7 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path, spark):
          "--conf", "spark.sql.shuffle.partitions=8",
          "--py-files", dest,
          os.path.join(REPO, "scripts", "submit_kg_pipeline.py"),
-         "--docs", "300", "--out", out_dir, "--mode", "fused",
+         "--input", corpus, "--out", out_dir, "--mode", "fused",
          "--buckets", "4"],
         capture_output=True, text=True, timeout=420,
         cwd=str(tmp_path),
