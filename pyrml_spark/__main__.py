@@ -23,7 +23,8 @@ def main(argv=None) -> int:
     ap.add_argument("-o", "--output", default=None,
                     help="output path (directory); stdout if omitted")
     ap.add_argument("-f", "--format", default="ntriples",
-                    choices=["nquads", "ntriples", "parquet"])
+                    choices=["nquads", "ntriples", "parquet",
+                             "turtle", "ttl", "n3", "trig"])
     ap.add_argument("-p", "--parallelism", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "4")))
     ap.add_argument("-v", "--var", action="append", default=[],
@@ -59,13 +60,27 @@ def main(argv=None) -> int:
     )
     from pyspark.sql import functions as F
 
-    if args.format == "ntriples":
+    if args.format in ("ntriples", "turtle", "ttl", "n3"):
         df = df.withColumn("g", F.lit(None).cast("string"))
     if args.format == "parquet":
         if not args.output:
             print("parquet output requires -o", file=sys.stderr)
             return 2
         df.write.mode("overwrite").parquet(args.output)
+    elif args.format in ("turtle", "ttl", "n3", "trig"):
+        # pretty prefixed text (reference pyrml-mapper.py:37-52 formats;
+        # n3 ⊇ turtle). Single pretty file: bulk output belongs to
+        # nquads/parquet.
+        from .rdfserialize import serialize_trig, serialize_turtle, write_turtle
+
+        trig = args.format == "trig"
+        if args.output:
+            write_turtle(df, args.output, trig=trig)
+        else:
+            from .nquads import df_to_quads
+
+            ser = serialize_trig if trig else serialize_turtle
+            sys.stdout.write(ser(df_to_quads(df)))
     elif args.output:
         write_nquads(df, args.output)
     else:

@@ -1,0 +1,100 @@
+"""Turtle/TriG serialization round-trips (VERDICT r3 #4): serialize →
+re-parse with the repo's own Turtle parser → identical quad set. Goldens:
+the artists example mapping and the RMLTC0006a named-graph quad case."""
+
+import os
+import subprocess
+import sys
+
+from pyrml_spark import convert
+from pyrml_spark.nquads import df_to_quads
+from pyrml_spark.rdfserialize import (
+    parse_trig,
+    prefix_table_from_df,
+    serialize_trig,
+    serialize_turtle,
+    write_turtle,
+)
+from pyrml_spark.rdfterms import XSD
+from pyrml_spark.turtle import parse_turtle
+
+REF = "/root/reference"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _reparse_turtle_to_triples(text):
+    from pyrml_spark.rdfserialize import _term_to_nt
+
+    triples, _base, _prefixes = parse_turtle(text)
+    return {(_term_to_nt(s), _term_to_nt(p), _term_to_nt(o))
+            for s, p, o in triples}
+
+
+def _artists_df(spark):
+    return convert(spark, os.path.join(REF, "examples/artists/artist-map.ttl"),
+                   search_roots=[REF])
+
+
+def test_turtle_roundtrip_artists(spark):
+    df = _artists_df(spark)
+    quads = df_to_quads(df)
+    text = serialize_turtle(quads)
+    assert "@prefix" in text and " a " in text  # prefixed + rdf:type kwd
+    got = _reparse_turtle_to_triples(text)
+    assert got == {(s, p, o) for s, p, o, _g in quads}
+
+
+def test_trig_roundtrip_named_graphs(spark):
+    """Quads with a named graph + default-graph rows must round-trip with
+    graph assignment intact."""
+    rows = [
+        ("<http://ex.com/s1>", "<http://ex.com/p>", '"v1"', None),
+        ("<http://ex.com/s1>", "<http://ex.com/p>",
+         '"dt"^^<' + XSD + 'date>', "<http://ex.com/g1>"),
+        ("<http://ex.com/s2>",
+         "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+         "<http://ex.com/T>", "<http://ex.com/g1>"),
+        ("_:b0", "<http://ex.com/p>", '"hola"@es', "<http://ex.com/g2>"),
+    ]
+    text = serialize_trig(rows)
+    back = parse_trig(text)
+    assert set(back) == set(rows)
+
+
+def test_trig_roundtrip_rmltc0006a():
+    """The reference's committed named-graph golden (output.nq) → TriG →
+    parse → same quad set."""
+    from pyrml_spark.nquads import parse_nquads
+
+    path = os.path.join(REF, "tests/test-cases-bkp/RMLTC0006a-CSV/output.nq")
+    with open(path, encoding="utf-8") as fh:
+        quads = parse_nquads(fh.read())
+    assert quads, "golden should be non-empty"
+    text = serialize_trig(quads)
+    assert set(parse_trig(text)) == set(quads)
+
+
+def test_write_turtle_streams_from_df(spark, tmp_path):
+    df = _artists_df(spark)
+    out = str(tmp_path / "artists.ttl")
+    write_turtle(df, out)
+    with open(out, encoding="utf-8") as fh:
+        text = fh.read()
+    got = _reparse_turtle_to_triples(text)
+    assert got == {(s, p, o) for s, p, o, _g in df_to_quads(df)}
+    # distributed prefix discovery found the dominant namespace
+    table = prefix_table_from_df(df)
+    assert "http://ex.com/" in table
+
+
+def test_cli_turtle_format(tmp_path):
+    """python -m pyrml_spark -f turtle prints parseable prefixed Turtle."""
+    proc = subprocess.run(
+        [sys.executable, "-m", "pyrml_spark",
+         os.path.join(REF, "examples/artists/artist-map.ttl"),
+         "-f", "turtle", "-p", "2"],
+        capture_output=True, text=True, timeout=300, cwd=REF,
+        env={**os.environ, "PYTHONPATH": REPO})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = _reparse_turtle_to_triples(proc.stdout)
+    assert len(got) == 9  # artists golden triple count
