@@ -340,16 +340,32 @@ def _localize_to_numeric(col: Column, fmt: str, tbl: dict):
         if tok in fmt:
             names = tbl["days"] if tok == "%A" else (
                 tbl.get("days_abbr") or [d[:3] for d in tbl["days"]])
+            # Anchor the strip by where the weekday token sits in the
+            # FORMAT (ADVICE r3): weekday before the month ('%a %d %b') →
+            # strip the FIRST occurrence in the input; weekday after the
+            # month ('%d %b %Y %a') → strip the LAST. Matters only when a
+            # weekday name equals a month name (es/it 'mar' = martes AND
+            # marzo) — the wrong anchor eats the month token and the parse
+            # NULLs (dropped triple).
+            month_positions = [fmt.index(t) for t in ("%B", "%b", "%m")
+                               if t in fmt]
+            trailing = bool(month_positions) and \
+                fmt.index(tok) > min(month_positions)
             for name in sorted(names, key=len, reverse=True):
-                # strip ONLY the first occurrence (^-anchored lazy prefix;
-                # with no MULTILINE a ^ pattern matches at most once): when a
-                # weekday abbr equals a month abbr (es/it 'mar'), a global
-                # replace would also eat the month token
-                col = F.regexp_replace(
-                    col,
-                    f"(?iU)^((?:(?!\\b{re.escape(name)}\\b).)*?)"
-                    f"\\b{re.escape(name)}\\b\\.?",
-                    "$1")
+                esc = re.escape(name)
+                if trailing:
+                    # last occurrence: the match not followed by another
+                    col = F.regexp_replace(
+                        col,
+                        f"(?iU)\\b{esc}\\b\\.?((?:(?!\\b{esc}\\b).)*)$",
+                        "$1")
+                else:
+                    # first occurrence: ^-anchored lazy prefix (no
+                    # MULTILINE, so the pattern matches at most once)
+                    col = F.regexp_replace(
+                        col,
+                        f"(?iU)^((?:(?!\\b{esc}\\b).)*?)\\b{esc}\\b\\.?",
+                        "$1")
             fmt = fmt.replace(tok, "")
     if "%B" in fmt:
         flat = [(num, v)

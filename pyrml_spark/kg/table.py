@@ -38,9 +38,15 @@ TRIPLE_COLS = ("s", "p", "o", "g")
 
 def iceberg_catalogs(spark: SparkSession) -> list:
     """Names of Iceberg catalogs configured on this session (public conf
-    surface: ``spark.sql.catalog.<name> = org.apache.iceberg...``)."""
+    surface: ``spark.sql.catalog.<name> = org.apache.iceberg...``).
+
+    Enumerated from the runtime SQL conf (``SET`` over the session state) —
+    not ``sparkContext.getConf()``, which misses catalogs registered after
+    session start via ``spark.conf.set`` and does not exist under Spark
+    Connect (ADVICE r3)."""
     out = []
-    for k, v in spark.sparkContext.getConf().getAll():
+    for row in spark.sql("SET").collect():
+        k, v = row["key"], (row["value"] or "")
         parts = k.split(".")
         if (len(parts) == 4 and parts[:3] == ["spark", "sql", "catalog"]
                 and "iceberg" in v.lower()):
@@ -103,13 +109,24 @@ def write_triples_table(
         .parquet(target))
 
 
-def read_triples_table(spark: SparkSession, target: str) -> DataFrame:
+def read_triples_table(spark: SparkSession, target: str,
+                       fmt: str | None = None) -> DataFrame:
     """Read back a triples table written by :func:`write_triples_table`
-    (either path), normalized to (s,p,o,g)."""
-    if "/" not in target and "." in target:
-        df = spark.read.table(target)
-    else:
-        df = spark.read.parquet(target)
+    (either path), normalized to (s,p,o,g).
+
+    ``fmt`` mirrors the writer: ``"iceberg"`` forces ``spark.read.table``,
+    ``"parquet"`` forces a path read, None = auto. Auto treats ``target``
+    as a catalog table ONLY when its first dotted segment names a
+    configured Iceberg catalog — a relative path like ``out.parquet`` must
+    never be routed to the catalog reader (ADVICE r3: it failed with a
+    confusing TABLE_OR_VIEW_NOT_FOUND)."""
+    if fmt is None:
+        first = target.split(".", 1)[0]
+        is_table = ("/" not in target and "." in target
+                    and first in iceberg_catalogs(spark))
+        fmt = "iceberg" if is_table else "parquet"
+    df = (spark.read.table(target) if fmt == "iceberg"
+          else spark.read.parquet(target))
     return df.select(*TRIPLE_COLS)
 
 

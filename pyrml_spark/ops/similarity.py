@@ -62,14 +62,25 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str,
     # Two-phase top-k. A single window over query_id ranks the WHOLE corpus
     # in n_queries reduce tasks — an 8-task bottleneck stage at any scale.
     # Phase 1 pre-reduces per input partition: grouping on
-    # (spark_partition_id, query_id) puts every row of a group in one map
-    # partition, so the hash aggregate completes map-side and only k structs
-    # per (partition, query) cross the shuffle. The struct sorts as
+    # (spark_partition_id, sub_bucket, query_id) puts every row of a group
+    # in one map partition, so the hash aggregate completes map-side and
+    # only k structs per group cross the shuffle. The sub_bucket split
+    # (VERDICT r3 #5) bounds the collect_list buffer: without it the
+    # aggregate gathered a whole partition's rows per query before slicing
+    # (peak memory = partition rows × n_queries structs); with G sub-buckets
+    # the buffer is partition_rows/G — and partition rows are themselves
+    # capped by spark.sql.files.maxPartitionBytes, so the peak is a fixed
+    # config-derived constant. Phase-2 input grows to parts·G·k rows per
+    # query, still trivial for the window. The struct sorts as
     # (-sim, neighbor_id) ascending = sim desc with neighbor_id tie-break —
     # the same total order as the final window, so the global top-k is exact.
+    sub_buckets = 32
     local_top = (
         scored
-        .groupBy(F.spark_partition_id().alias("part"), "query_id")
+        .groupBy(F.spark_partition_id().alias("part"),
+                 F.pmod(F.xxhash64("neighbor_id"),
+                        F.lit(sub_buckets)).alias("sub"),
+                 "query_id")
         .agg(F.slice(
             F.sort_array(F.collect_list(F.struct(
                 (-F.col("sim_raw")).alias("neg_sim"),

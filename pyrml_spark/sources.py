@@ -69,9 +69,17 @@ def _flatten_struct_cols(df: DataFrame) -> DataFrame:
 
 
 def _parse_jsonpath_steps(iterator: str) -> List[tuple]:
-    """Parse the JSONPath subset ``$.a.b[*]``, ``$[*]``, ``$.a[0]``.
+    """Parse the JSONPath subset ``$.a.b[*]``, ``$[*]``, ``$.a[0]``,
+    ``$..name`` (recursive descent to a named field).
 
-    Returns list of ("field", name) | ("explode", None) | ("index", i).
+    Returns list of ("field", name) | ("explode", None) | ("index", i)
+    | ("descend", name).
+
+    Everything outside the subset — filter predicates ``[?(...)]``, slices
+    ``[1:3]``, unions ``[a,b]``, wildcard descent ``$..*`` — raises
+    :class:`SourceError` LOUDLY (the reference accepts full ``jsonpath_ng``
+    grammar, pyrml_core.py:886-894; a silent mis-parse would drop or
+    misroute rows, so unsupported grammar must never be guessed at).
     """
     it = iterator.strip()
     if not it.startswith("$"):
@@ -82,12 +90,23 @@ def _parse_jsonpath_steps(iterator: str) -> List[tuple]:
     while i < len(it):
         ch = it[i]
         if ch == ".":
-            j = i + 1
+            descend = i + 1 < len(it) and it[i + 1] == "."
+            j = i + (2 if descend else 1)
+            start = j
             while j < len(it) and it[j] not in ".[":
                 j += 1
-            name = it[i + 1 : j]
-            if name:
+            name = it[start:j]
+            if descend:
+                if not name or name == "*":
+                    raise SourceError(
+                        f"unsupported JSONPath descent {iterator!r} "
+                        "(only '$..name' is supported)")
+                steps.append(("descend", name))
+            elif name:
                 steps.append(("field", name))
+            else:
+                raise SourceError(
+                    f"unsupported JSONPath step at '.' in {iterator!r}")
             i = j
         elif ch == "[":
             j = it.index("]", i)
@@ -97,11 +116,67 @@ def _parse_jsonpath_steps(iterator: str) -> List[tuple]:
             elif inner.lstrip("-").isdigit():
                 steps.append(("index", int(inner)))
             else:
-                raise SourceError(f"unsupported JSONPath step [{inner}]")
+                raise SourceError(
+                    f"unsupported JSONPath step [{inner}] (filter "
+                    "predicates / slices / unions are outside the "
+                    "supported subset)")
             i = j + 1
         else:
             raise SourceError(f"unsupported JSONPath iterator {iterator!r}")
     return steps
+
+
+def _descend_programs(dtype, name: str) -> List[List[tuple]]:
+    """All access programs from ``dtype`` to fields named ``name`` at any
+    depth (schema-driven recursive descent — the DataFrame schema plays the
+    role of the document tree, so ``$..x`` compiles to a finite union of
+    static column programs). A program is a list of ("get", field) |
+    ("unroll", None)."""
+    out: List[List[tuple]] = []
+    if isinstance(dtype, T.StructType):
+        for f in dtype.fields:
+            if f.name == name:
+                out.append([("get", f.name)])
+            for p in _descend_programs(f.dataType, name):
+                out.append([("get", f.name)] + p)
+    elif isinstance(dtype, T.ArrayType):
+        for p in _descend_programs(dtype.elementType, name):
+            out.append([("unroll", None)] + p)
+    return out
+
+
+def _apply_descend(df: DataFrame, node, name: str) -> DataFrame:
+    """Apply ``..name`` to the current node: enumerate every schema path to
+    a field called ``name``, build one branch DataFrame per path (struct
+    gets + array explodes), union them. Result column: ``__node__``."""
+    if node is None:
+        base = df.select(F.struct(*df.columns).alias("__node__"))
+    else:
+        base = df.select(node.alias("__node__"))
+    programs = _descend_programs(base.schema["__node__"].dataType, name)
+    if not programs:
+        raise SourceError(
+            f"JSONPath descent '$..{name}': no field named {name!r} "
+            "anywhere in the document schema")
+    branches = []
+    for prog in programs:
+        b, col = base, F.col("__node__")
+        for kind, arg in prog:
+            if kind == "get":
+                col = col.getField(arg)
+            else:
+                b = b.select(F.explode(col).alias("__node__"))
+                col = F.col("__node__")
+        branches.append(b.select(col.alias("__node__")))
+    types = {b.schema["__node__"].dataType.simpleString() for b in branches}
+    if len(types) > 1:
+        raise SourceError(
+            f"JSONPath descent '$..{name}' matches fields of differing "
+            f"types {sorted(types)}; disambiguate with an explicit path")
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def load_json_source(
@@ -129,6 +204,9 @@ def load_json_source(
             if node is None:
                 raise SourceError("top-level [n] unsupported")
             df = df.select(F.col("__node__").getItem(arg).alias("__node__"))
+            node = F.col("__node__")
+        elif kind == "descend":
+            df = _apply_descend(df, node, arg)
             node = F.col("__node__")
     if node is not None:
         dt = df.schema["__node__"].dataType

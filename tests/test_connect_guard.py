@@ -1,0 +1,47 @@
+"""Spark Connect smoke-readiness guard (VERDICT r3 #7): the engine must be
+Column/DataFrame-pure — no py4j private handles (``_jdf``/``_jvm``/``_jc``/
+``_jsparkSession``) and no ``sparkContext`` outside session bootstrap. These
+APIs do not exist under Spark Connect, which is the 100×-scale deployment
+surface (serverless / Connect clusters).
+
+AST-based (attribute accesses only), so docstrings that *mention* the
+private APIs don't trip it."""
+
+import ast
+import pathlib
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "pyrml_spark"
+
+BANNED_ATTRS = {"_jdf", "_jvm", "_jc", "_jsparkSession", "_sc", "sparkContext"}
+
+# file name → attrs allowed there (session bootstrap only)
+ALLOW = {
+    "__main__.py": {"sparkContext"},  # setLogLevel at CLI session creation
+}
+
+
+def test_no_private_jvm_api_outside_bootstrap():
+    offenders = []
+    for path in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(path.read_text(encoding="utf-8"))
+        allowed = ALLOW.get(path.name, set())
+        for node in ast.walk(tree):
+            if (isinstance(node, ast.Attribute)
+                    and node.attr in BANNED_ATTRS
+                    and node.attr not in allowed):
+                offenders.append(
+                    f"{path.relative_to(PKG.parent)}:{node.lineno} "
+                    f".{node.attr}")
+    assert not offenders, (
+        "Spark Connect-incompatible API use outside bootstrap:\n"
+        + "\n".join(offenders))
+
+
+def test_bootstrap_allowance_is_tight():
+    """The allowlist must stay minimal: __main__.py may touch sparkContext
+    exactly once (setLogLevel)."""
+    src = (PKG / "__main__.py").read_text(encoding="utf-8")
+    tree = ast.parse(src)
+    uses = [n for n in ast.walk(tree)
+            if isinstance(n, ast.Attribute) and n.attr == "sparkContext"]
+    assert len(uses) <= 1

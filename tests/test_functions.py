@@ -207,6 +207,16 @@ def test_normalize_date_with_lang_locales(spark, reg):
         # weekday abbr == month abbr (es 'mar' = martes AND marzo): the
         # weekday strip must take only the FIRST occurrence (ADVICE r2)
         ("mar. 3 mar. 2020", "%a %d %b %Y", "es", "2020-03-03"),
+        # trailing-weekday format: the strip must take the LAST occurrence
+        # (anchored by the %a position in fmt — ADVICE r3), else the month
+        # token is eaten instead
+        ("3 mar. 2020 mar.", "%d %b %Y %a", "es", "2020-03-03"),
+        # weekday-absent input under a weekday format with NON-colliding
+        # names parses leniently (no field to strip, month still replaced);
+        # the colliding weekday-absent case ('3 mar. 2020' + '%d %b %Y %a')
+        # is ambiguous and NULLs, like strict strptime would
+        ("3 ene. 2020", "%d %b %Y %a", "es", "2020-01-03"),
+        ("3 mar. 2020", "%d %b %Y %a", "es", None),
         # accented final letters need unicode word boundaries ((?U))
         ("lunedì 5 ottobre 2020", "%A %d %B %Y", "it", "2020-10-05"),
         # new locales: genitive month forms (ru/pl), sv, locale day abbrs
