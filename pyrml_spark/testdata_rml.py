@@ -635,6 +635,66 @@ FROM region
 """
 
 
+def _nation_nested_json(spark: SparkSession, sf_dir: str) -> str:
+    """Deeply nested doc: nation objects live two array levels down, so a
+    plain ``$.a.b[*]`` iterator can't reach them — only ``$..nation``."""
+    import json
+
+    path = os.path.join(_derived_dir(sf_dir), "nation_nested.json")
+    if not os.path.exists(path):
+        nations = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .orderBy("n_nationkey").collect()
+        )
+        regions = (
+            spark.read.parquet(f"{sf_dir}/region.parquet")
+            .orderBy("r_regionkey").collect()
+        )
+        doc = {"world": {"regions": [
+            {"name": reg["r_name"],
+             "nations": [
+                 {"nation": {"n_nationkey": n["n_nationkey"],
+                             "n_name": n["n_name"]}}
+                 for n in nations if n["n_regionkey"] == reg["r_regionkey"]
+             ]}
+            for reg in regions
+        ]}}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)
+    return path
+
+
+_JSON_DESCENT_MAP = """
+<#NatDescent> rml:logicalSource [ rml:source "{{ json_path }}" ;
+    rml:referenceFormulation ql:JSONPath ;
+    rml:iterator "$..nation" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/nation/{n_nationkey}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ;
+    rr:objectMap [ rml:reference "n_name" ] ] .
+"""
+
+
+def q_json_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+: JSONPath recursive descent ``$..name`` (round-4 grammar
+    extension) — schema-driven union of static column programs."""
+    path = _nation_nested_json(spark, sf_dir)
+    plan = parse_mapping(_PRELUDE + _JSON_DESCENT_MAP,
+                         template_vars={"json_path": path})
+    return RMLCompiler(spark, plan).compile()
+
+
+ORACLE_JSON_DESCENT = """
+SELECT DISTINCT
+  '<http://ex.com/nation/' || n_nationkey || '>' AS s,
+  '<http://ex.com/name>' AS p,
+  '"' || n_name || '"' AS o,
+  CAST(NULL AS VARCHAR) AS g
+FROM nation
+"""
+
+
 def _nation_xml(spark: SparkSession, sf_dir: str) -> str:
     from xml.sax.saxutils import escape, quoteattr
 
@@ -716,6 +776,7 @@ RML_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rml_csv_source": q_csv_source,
     "rml_csvw_source": q_csvw_source,
     "rml_json_source": q_json_source,
+    "rml_json_descent": q_json_descent,
     "rml_xml_source": q_xml_source,
 }
 
@@ -736,5 +797,6 @@ RML_ORACLES: Dict[str, str] = {
     "rml_csv_source": ORACLE_CSV_SOURCE,
     "rml_csvw_source": ORACLE_CSVW_SOURCE,
     "rml_json_source": ORACLE_JSON_SOURCE,
+    "rml_json_descent": ORACLE_JSON_DESCENT,
     "rml_xml_source": ORACLE_XML_SOURCE,
 }
