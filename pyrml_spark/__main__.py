@@ -24,7 +24,8 @@ def main(argv=None) -> int:
                     help="output path (directory); stdout if omitted")
     ap.add_argument("-f", "--format", default="ntriples",
                     choices=["nquads", "ntriples", "parquet",
-                             "turtle", "ttl", "n3", "trig"])
+                             "turtle", "ttl", "n3", "trig",
+                             "xml", "pretty-xml", "trix"])
     ap.add_argument("-p", "--parallelism", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "4")))
     ap.add_argument("-v", "--var", action="append", default=[],
@@ -60,13 +61,30 @@ def main(argv=None) -> int:
     )
     from pyspark.sql import functions as F
 
-    if args.format in ("ntriples", "turtle", "ttl", "n3"):
+    if args.format in ("ntriples", "turtle", "ttl", "n3", "xml",
+                       "pretty-xml"):
         df = df.withColumn("g", F.lit(None).cast("string"))
     if args.format == "parquet":
         if not args.output:
             print("parquet output requires -o", file=sys.stderr)
             return 2
         df.write.mode("overwrite").parquet(args.output)
+    elif args.format in ("xml", "pretty-xml", "trix"):
+        # XML family (reference pyrml-mapper.py:37-52): driver-side pretty
+        # formats like turtle — see rdfxml.py module docstring
+        from .nquads import df_to_quads
+        from .rdfxml import serialize_rdfxml, serialize_trix
+
+        quads = df_to_quads(df)
+        if args.format == "trix":
+            text = serialize_trix(quads)
+        else:
+            text = serialize_rdfxml(quads, pretty=args.format == "pretty-xml")
+        if args.output:
+            with open(args.output, "w", encoding="utf-8") as fh:
+                fh.write(text)
+        else:
+            sys.stdout.write(text)
     elif args.format in ("turtle", "ttl", "n3", "trig"):
         # pretty prefixed text (reference pyrml-mapper.py:37-52 formats;
         # n3 ⊇ turtle). Single pretty file: bulk output belongs to

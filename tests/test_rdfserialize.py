@@ -98,3 +98,74 @@ def test_cli_turtle_format(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     got = _reparse_turtle_to_triples(proc.stdout)
     assert len(got) == 9  # artists golden triple count
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML + pretty-xml + TriX (rdfxml.py)
+# ---------------------------------------------------------------------------
+
+def test_rdfxml_roundtrip_artists(spark):
+    from pyrml_spark.rdfxml import parse_rdfxml, serialize_rdfxml
+
+    quads = df_to_quads(_artists_df(spark))
+    for pretty in (False, True):
+        text = serialize_rdfxml(quads, pretty=pretty)
+        assert text.startswith('<?xml')
+        got = {(s, p, o) for s, p, o, _g in parse_rdfxml(text)}
+        assert got == {(s, p, o) for s, p, o, _g in quads}
+    # pretty mode lifts rdf:type into the element name
+    assert "rdf:about" in serialize_rdfxml(quads, pretty=True)
+    assert ":Person rdf:about" in serialize_rdfxml(quads, pretty=True)
+
+
+def test_rdfxml_literals_langs_bnodes():
+    from pyrml_spark.rdfxml import parse_rdfxml, serialize_rdfxml
+
+    quads = [
+        ("<http://ex.com/s>", "<http://ex.com/says>", '"a<b>&\\"c\\""', None),
+        ("<http://ex.com/s>", "<http://ex.com/greets>", '"hola"@es', None),
+        ("<http://ex.com/s>", "<http://ex.com/n>",
+         '"5"^^<' + XSD + 'integer>', None),
+        ("_:b1", "<http://ex.com/p>", "_:b2", None),
+    ]
+    text = serialize_rdfxml(quads)
+    assert {(s, p, o) for s, p, o, _ in parse_rdfxml(text)} \
+        == {(s, p, o) for s, p, o, _ in quads}
+
+
+def test_rdfxml_unrepresentable_predicate_is_loud():
+    from pyrml_spark.rdfxml import RdfXmlError, serialize_rdfxml
+
+    quads = [("<http://ex.com/s>", "<http://ex.com/p/1badlocal!>", '"v"',
+              None)]
+    import pytest as _pytest
+    with _pytest.raises(RdfXmlError):
+        serialize_rdfxml(quads)
+
+
+def test_trix_roundtrip_named_graphs():
+    from pyrml_spark.rdfxml import parse_trix, serialize_trix
+
+    quads = [
+        ("<http://ex.com/s>", "<http://ex.com/p>", '"v"', None),
+        ("<http://ex.com/s>", "<http://ex.com/p>", '"v2"@en',
+         "<http://ex.com/g1>"),
+        ("_:b", "<http://ex.com/p>", '"7"^^<' + XSD + 'int>',
+         "<http://ex.com/g1>"),
+    ]
+    text = serialize_trix(quads)
+    assert set(parse_trix(text)) == set(quads)
+
+
+def test_cli_xml_and_trix_formats(tmp_path):
+    from pyrml_spark.rdfxml import parse_rdfxml, parse_trix
+
+    for fmt, parse in (("pretty-xml", parse_rdfxml), ("trix", parse_trix)):
+        proc = subprocess.run(
+            [sys.executable, "-m", "pyrml_spark",
+             os.path.join(REF, "examples/artists/artist-map.ttl"),
+             "-f", fmt, "-p", "2"],
+            capture_output=True, text=True, timeout=300, cwd=REF,
+            env={**os.environ, "PYTHONPATH": REPO})
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert len(parse(proc.stdout)) == 9
