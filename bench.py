@@ -81,6 +81,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qmap = queries()
 
+    # untimed warmup (same practice as BENCH/scaling.py): JIT, codegen,
+    # shuffle service and the parquet footer caches spin up once per JVM —
+    # without this the first headline query absorbs ~8 s of session warmup
+    # and its trend line measures startup, not the operator
+    from pyspark.sql import functions as F
+
+    warm = (spark.read.parquet(f"{SF_DIR}/region.parquet")
+            .crossJoin(spark.range(10_000))
+            .groupBy("r_regionkey").agg(F.count("*").alias("c")))
+    force(warm)
+
     timings = {}
     total = 0.0
     for name in HEADLINE:

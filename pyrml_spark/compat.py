@@ -72,3 +72,47 @@ class PyRML:
     @classmethod
     def unregister_function(cls, fun_id: str) -> None:
         cls.get_mapper().functions.unregister(fun_id)
+
+
+def serialize(df: DataFrame, format: str = "nt",
+              destination: Optional[str] = None) -> Optional[str]:
+    """rdflib ``Graph.serialize``-alike over a (s,p,o[,g]) DataFrame — the
+    reference workflow is ``g = mapper.convert(...); g.serialize(format=f)``
+    (pyrml_mapper.py:137-140); here ``serialize(convert(...), f)`` covers
+    the same format list: nt/ntriples, nquads/nq, turtle/ttl/n3, trig,
+    xml, pretty-xml, trix.
+
+    Returns the text when ``destination`` is None, else writes one file.
+    Driver-side like rdflib (pretty formats are one-writer artifacts);
+    for bulk output use :func:`pyrml_spark.nquads.write_nquads` or
+    :func:`pyrml_spark.kg.table.write_triples_table`."""
+    from .nquads import df_to_quads
+    from .rdfserialize import serialize_trig, serialize_turtle
+    from .rdfxml import serialize_rdfxml, serialize_trix
+
+    fmt = format.lower().replace("_", "-")
+    quads = df_to_quads(df)
+    if fmt in ("nt", "ntriples", "nt11"):
+        text = "\n".join(sorted(f"{s} {p} {o} ."
+                                for s, p, o, _g in set(quads))) + "\n"
+    elif fmt in ("nquads", "nq"):
+        text = "\n".join(sorted(
+            f"{s} {p} {o}{' ' + g if g else ''} ."
+            for s, p, o, g in set(quads))) + "\n"
+    elif fmt in ("turtle", "ttl", "n3"):
+        text = serialize_turtle(quads)
+    elif fmt == "trig":
+        text = serialize_trig(quads)
+    elif fmt == "xml":
+        text = serialize_rdfxml(quads)
+    elif fmt == "pretty-xml":
+        text = serialize_rdfxml(quads, pretty=True)
+    elif fmt == "trix":
+        text = serialize_trix(quads)
+    else:
+        raise ValueError(f"unsupported serialization format {format!r}")
+    if destination is None:
+        return text
+    with open(destination, "w", encoding="utf-8") as fh:
+        fh.write(text)
+    return None

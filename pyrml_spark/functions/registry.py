@@ -324,6 +324,53 @@ _LOCALE_TABLES = {
                  "sobota", "niedziela"],
         "days_abbr": ["pon", "wt", "śr", "czw", "pt", "sob", "niedz"],
     },
+    "da": {
+        "months": ["januar", "februar", "marts", "april", "maj", "juni",
+                   "juli", "august", "september", "oktober", "november",
+                   "december"],
+        "months_abbr": ["jan", "feb", "mar", "apr", "maj", "jun", "jul",
+                        "aug", "sep", "okt", "nov", "dec"],
+        "days": ["mandag", "tirsdag", "onsdag", "torsdag", "fredag",
+                 "lørdag", "søndag"],
+    },
+    # Finnish dates use the partitive ("3. tammikuuta 2020") — variant
+    # lists like the Slavic genitive handling above
+    "fi": {
+        "months": [["tammikuuta", "tammikuu"], ["helmikuuta", "helmikuu"],
+                   ["maaliskuuta", "maaliskuu"], ["huhtikuuta", "huhtikuu"],
+                   ["toukokuuta", "toukokuu"], ["kesäkuuta", "kesäkuu"],
+                   ["heinäkuuta", "heinäkuu"], ["elokuuta", "elokuu"],
+                   ["syyskuuta", "syyskuu"], ["lokakuuta", "lokakuu"],
+                   ["marraskuuta", "marraskuu"], ["joulukuuta", "joulukuu"]],
+        "months_abbr": ["tammi", "helmi", "maalis", "huhti", "touko",
+                        "kesä", "heinä", "elo", "syys", "loka", "marras",
+                        "joulu"],
+        "days": ["maanantai", "tiistai", "keskiviikko", "torstai",
+                 "perjantai", "lauantai", "sunnuntai"],
+        "days_abbr": ["ma", "ti", "ke", "to", "pe", "la", "su"],
+    },
+    "cs": {
+        "months": [["ledna", "leden"], ["února", "únor"],
+                   ["března", "březen"], ["dubna", "duben"],
+                   ["května", "květen"], ["června", "červen"],
+                   ["července", "červenec"], ["srpna", "srpen"],
+                   ["září"], ["října", "říjen"],
+                   ["listopadu", "listopad"], ["prosince", "prosinec"]],
+        "months_abbr": ["led", "úno", "bře", "dub", "kvě", "čvn", "čvc",
+                        "srp", "zář", "říj", "lis", "pro"],
+        "days": ["pondělí", "úterý", "středa", "čtvrtek", "pátek",
+                 "sobota", "neděle"],
+        "days_abbr": ["po", "út", "st", "čt", "pá", "so", "ne"],
+    },
+    "tr": {
+        "months": ["ocak", "şubat", "mart", "nisan", "mayıs", "haziran",
+                   "temmuz", "ağustos", "eylül", "ekim", "kasım", "aralık"],
+        "months_abbr": ["oca", "şub", "mar", "nis", "may", "haz", "tem",
+                        "ağu", "eyl", "eki", "kas", "ara"],
+        "days": ["pazartesi", "salı", "çarşamba", "perşembe", "cuma",
+                 "cumartesi", "pazar"],
+        "days_abbr": ["pzt", "sal", "çar", "per", "cum", "cmt", "paz"],
+    },
 }
 
 
@@ -490,7 +537,12 @@ def default_registry() -> FunctionRegistry:
     def _norm_lang(to):
         def f(date, pattern, lang):
             lc = _const_str(lang)
-            if lc is None or lc.lower().startswith(("en", "c")):
+            lcl = (lc or "").lower()
+            # "C"/"POSIX"/"C.UTF-8" are the no-locale locales — but only as
+            # exact/dotted forms: a bare startswith("c") would swallow
+            # cs (Czech) and ca (Catalan)
+            if (lc is None or lcl.startswith("en")
+                    or lcl in ("c", "posix") or lcl.startswith("c.")):
                 return _normalize_date(date, pattern, to=to)
             fmt = _const_str(pattern)
             if fmt is None:

@@ -232,3 +232,44 @@ def test_jsonpath_descent_missing_field_is_loud(spark, tmp_path):
         f.write('{"a": 1}')
     with pytest.raises(SourceError, match="no field named"):
         load_json_source(spark, p, "$..nope")
+
+
+def test_compat_serialize_all_formats(spark, tmp_path):
+    """compat.serialize mirrors rdflib Graph.serialize over the reference's
+    format list (pyrml_mapper.py:137-140): every format emits parseable
+    text with the full triple set."""
+    from pyrml_spark.compat import serialize
+    from pyrml_spark.nquads import df_to_quads, parse_nquads
+    from pyrml_spark.rdfserialize import parse_trig
+    from pyrml_spark.rdfxml import parse_rdfxml, parse_trix
+    from pyrml_spark.turtle import parse_turtle
+    from pyrml_spark.rdfserialize import _term_to_nt
+
+    df = convert(spark, "/root/reference/examples/artists/artist-map.ttl",
+                 search_roots=["/root/reference"])
+    expected = {(s, p, o) for s, p, o, _g in df_to_quads(df)}
+
+    def turtle_triples(text):
+        triples, _b, _p = parse_turtle(text)
+        return {(_term_to_nt(s), _term_to_nt(p), _term_to_nt(o))
+                for s, p, o in triples}
+
+    parsers = {
+        "nt": lambda t: {(s, p, o) for s, p, o, _ in parse_nquads(t)},
+        "nquads": lambda t: {(s, p, o) for s, p, o, _ in parse_nquads(t)},
+        "turtle": turtle_triples,
+        "n3": turtle_triples,
+        "trig": lambda t: {(s, p, o) for s, p, o, _ in parse_trig(t)},
+        "xml": lambda t: {(s, p, o) for s, p, o, _ in parse_rdfxml(t)},
+        "pretty-xml": lambda t: {(s, p, o) for s, p, o, _ in parse_rdfxml(t)},
+        "trix": lambda t: {(s, p, o) for s, p, o, _ in parse_trix(t)},
+    }
+    for fmt, parse in parsers.items():
+        text = serialize(df, fmt)
+        assert parse(text) == expected, fmt
+    # destination write + unsupported format loud
+    dest = str(tmp_path / "g.ttl")
+    assert serialize(df, "turtle", dest) is None
+    assert turtle_triples(open(dest).read()) == expected
+    with pytest.raises(ValueError):
+        serialize(df, "jsonld")

@@ -223,6 +223,12 @@ def test_normalize_date_with_lang_locales(spark, reg):
         ("3 января 2020", "%d %B %Y", "ru_RU", "2020-01-03"),
         ("март 2021 15", "%B %Y %d", "ru", "2021-03-15"),
         ("12 października 2019", "%d %B %Y", "pl_PL", "2019-10-12"),
+        # r4 locales: da / fi (partitive) / cs (genitive) / tr
+        ("3. marts 2020", "%d. %B %Y", "da_DK", "2020-03-03"),
+        ("3. tammikuuta 2020", "%d. %B %Y", "fi_FI", "2020-01-03"),
+        ("15. září 2021", "%d. %B %Y", "cs_CZ", "2021-09-15"),
+        ("12 ağustos 2001", "%d %B %Y", "tr_TR", "2001-08-12"),
+        ("cum 12 eyl. 2014", "%a %d %b %Y", "tr", "2014-09-12"),
         ("pon 7 maj 2018", "%a %d %b %Y", "pl", "2018-05-07"),
         ("måndag 5 augusti 2020", "%A %d %B %Y", "sv_SE", "2020-08-05"),
     ]
@@ -248,4 +254,4 @@ def test_normalize_date_with_lang_locales(spark, reg):
         build(reg, IDLAB_ + "normalizeDateWithLang",
               (IDLAB_ + "strDate", F.lit("x")),
               (IDLAB_ + "pattern", const_lit("%d %B %Y")),
-              (IDLAB_ + "lang", const_lit("fi_FI")))
+              (IDLAB_ + "lang", const_lit("ja_JP")))
