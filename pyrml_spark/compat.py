@@ -39,7 +39,8 @@ class RMLConverter:
                 template_vars: Optional[dict] = None) -> DataFrame:
         # multiprocessed accepted for signature parity; Spark parallelizes
         return _convert(self.spark, rml_file, template_vars=template_vars,
-                        functions=self.functions)
+                        functions=self.functions,
+                        infer_literal_datatypes=PyRML.INFER_LITERAL_DATATYPES)
 
     # templated batch API (reference: RMLConverter.convert_,
     # pyrml_mapper.py:240-290)
@@ -51,6 +52,10 @@ class RMLConverter:
 
 class PyRML:
     """Singleton facade mirroring pyrml_api.PyRML."""
+
+    # reference flag (pyrml_api.py:705, default False): plain literals from
+    # natively-typed source columns get an inferred xsd datatype
+    INFER_LITERAL_DATATYPES: bool = False
 
     _mapper: Optional[RMLConverter] = None
 

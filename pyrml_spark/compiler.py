@@ -95,6 +95,7 @@ class RMLCompiler:
         broadcast_threshold: int = 64 << 20,
         salt_joins: int = 0,
         irify: bool = False,
+        infer_literal_datatypes: bool = False,
     ):
         self.spark = spark
         self.plan = plan
@@ -111,6 +112,10 @@ class RMLCompiler:
         # PyRML.IRIFY equivalent (default False like the reference,
         # pyrml_api.py:703)
         self.irify = irify
+        # PyRML.INFER_LITERAL_DATATYPES equivalent (default False,
+        # pyrml_api.py:705): plain literals from natively-typed source
+        # columns (JSON/parquet) get an inferred xsd datatype
+        self.infer_literal_datatypes = infer_literal_datatypes
 
     # -- source handling -----------------------------------------------------
     def _source_df(self, tm: TriplesMap) -> DataFrame:
@@ -161,6 +166,8 @@ class RMLCompiler:
             base_iri=self.plan.base_iri,
             functions=self.functions,
             irify=self.irify,
+            dtypes=dict(df.dtypes),
+            infer_literal_datatypes=self.infer_literal_datatypes,
         )
         branches: List[DataFrame] = []
         for sm in tm.subject_maps:
@@ -327,6 +334,8 @@ class RMLCompiler:
             functions=self.functions,
             column_prefix=prefix,
             irify=self.irify,
+            dtypes=dict(parent_sel.dtypes),
+            infer_literal_datatypes=self.infer_literal_datatypes,
         )
         o_col = compile_term(parent_ctx, parent_sm.term_map)
 
@@ -410,6 +419,7 @@ def convert(
     template_vars: Optional[dict] = None,
     deduplicate: bool = True,
     functions=None,
+    infer_literal_datatypes: bool = False,
 ) -> DataFrame:
     """Public API: mapping document → DataFrame[s,p,o,g].
 
@@ -425,5 +435,6 @@ def convert(
     # reference resolves paths against the process CWD; mappings in the
     # reference repo use paths like "./examples/artists/Artist.csv"
     roots.append(os.getcwd())
-    compiler = RMLCompiler(spark, plan, search_roots=roots, functions=functions)
+    compiler = RMLCompiler(spark, plan, search_roots=roots, functions=functions,
+                           infer_literal_datatypes=infer_literal_datatypes)
     return compiler.compile(deduplicate=deduplicate)

@@ -51,6 +51,8 @@ class CompileCtx:
     functions: Optional[object] = None           # FunctionRegistry
     column_prefix: str = ""                      # prefix for join-renamed cols
     irify: bool = False                          # PyRML.IRIFY full slug path
+    dtypes: Optional[dict] = None                # column → Spark simple type
+    infer_literal_datatypes: bool = False        # PyRML.INFER_LITERAL_DATATYPES
 
 
 # ---------------------------------------------------------------------------
@@ -345,6 +347,32 @@ def raw_value(ctx: CompileCtx, tm: TermMap) -> Column:
     raise ValueError(f"unknown term map kind {tm.kind!r}")
 
 
+_SPARK_TO_XSD = {
+    "tinyint": "integer", "smallint": "integer", "int": "integer",
+    "bigint": "integer",
+    "float": "double", "double": "double",
+    "boolean": "boolean",
+    "timestamp": "dateTime", "timestamp_ntz": "dateTime",
+    "date": "date",
+}
+
+
+def infer_datatype_for(ctx: CompileCtx, tm: TermMap) -> Optional[str]:
+    """XSD datatype IRI inferred from the referenced source column's Spark
+    type (only for plain rml:reference object maps — templates/functions
+    concatenate to string, matching the reference where str(value) drops
+    the native type)."""
+    if tm.kind != "reference" or not ctx.dtypes:
+        return None
+    resolved = resolve_column(ctx.columns, ctx.column_prefix + tm.reference) \
+        or resolve_column(ctx.columns, tm.reference)
+    spark_t = (ctx.dtypes.get(resolved) or "").lower()
+    if spark_t.startswith("decimal"):
+        return XSD + "decimal"
+    local = _SPARK_TO_XSD.get(spark_t)
+    return (XSD + local) if local else None
+
+
 def render_value(ctx: CompileCtx, tm: TermMap, raw: Column) -> Column:
     """Raw value column → N-Triples lexical form column (NULL-preserving)."""
     if tm.kind == "constant":
@@ -371,9 +399,20 @@ def render_value(ctx: CompileCtx, tm: TermMap, raw: Column) -> Column:
         )
 
     # literal
+    datatype = tm.datatype
+    if (datatype is None and not tm.language and tm.language_map is None
+            and ctx.infer_literal_datatypes):
+        # PyRML.INFER_LITERAL_DATATYPES (reference default False,
+        # pyrml_api.py:705; typing at pyrml_core.py:277-287: rdflib
+        # Literal(native_value) → xsd type from the Python type,
+        # np.datetime64 → xsd:dateTime). Here the SOURCE column's Spark
+        # type plays the Python type's role — all-string sources (CSV,
+        # like the reference's dtype=str reads) stay plain; JSON/parquet
+        # native scalars get typed.
+        datatype = infer_datatype_for(ctx, tm)
     lex = raw
-    if tm.datatype:
-        lex = canonicalize_datatype(lex, tm.datatype)
+    if datatype:
+        lex = canonicalize_datatype(lex, datatype)
     quoted = F.concat(F.lit('"'), nt_escape(lex), F.lit('"'))
     if tm.language:
         out = F.concat(quoted, F.lit("@" + tm.language))
@@ -381,8 +420,8 @@ def render_value(ctx: CompileCtx, tm: TermMap, raw: Column) -> Column:
         lang = raw_value(ctx, tm.language_map)
         lang_ok = lang.isNotNull() & lang.rlike(LANG_VALID_RE)
         out = F.when(lang_ok, F.concat(quoted, F.lit("@"), lang))
-    elif tm.datatype and tm.datatype != XSD + "string":
-        out = F.concat(quoted, F.lit("^^<" + tm.datatype + ">"))
+    elif datatype and datatype != XSD + "string":
+        out = F.concat(quoted, F.lit("^^<" + datatype + ">"))
     else:
         out = quoted
     return F.when(raw.isNull(), F.lit(None)).otherwise(out)

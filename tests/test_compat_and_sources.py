@@ -273,3 +273,50 @@ def test_compat_serialize_all_formats(spark, tmp_path):
     assert turtle_triples(open(dest).read()) == expected
     with pytest.raises(ValueError):
         serialize(df, "jsonld")
+
+
+def test_infer_literal_datatypes(spark, tmp_path):
+    """PyRML.INFER_LITERAL_DATATYPES (pyrml_api.py:705, pyrml_core.py:
+    277-287): with the flag on, plain rml:reference literals from
+    natively-typed source columns (JSON) carry inferred xsd datatypes;
+    off (default), they stay plain. All-string sources (CSV) are
+    unaffected either way, like the reference's dtype=str reads."""
+    import json as _json
+
+    from pyrml_spark.compiler import RMLCompiler
+    from pyrml_spark.parse_mapping import parse_mapping
+
+    doc = [{"id": 1, "n": 7, "x": 2.5, "ok": True, "name": "a"}]
+    p = str(tmp_path / "d.json")
+    with open(p, "w") as f:
+        _json.dump(doc, f)
+    mapping = PRELUDE + """
+    <#M> rml:logicalSource [ rml:source "%s" ;
+        rml:referenceFormulation ql:JSONPath ; rml:iterator "$[*]" ] ;
+      rr:subjectMap [ rr:template "http://ex.com/r/{id}" ] ;
+      rr:predicateObjectMap [ rr:predicate ex:n ;
+        rr:objectMap [ rml:reference "n" ] ] ;
+      rr:predicateObjectMap [ rr:predicate ex:x ;
+        rr:objectMap [ rml:reference "x" ] ] ;
+      rr:predicateObjectMap [ rr:predicate ex:ok ;
+        rr:objectMap [ rml:reference "ok" ] ] ;
+      rr:predicateObjectMap [ rr:predicate ex:name ;
+        rr:objectMap [ rml:reference "name" ] ] .
+    """ % p
+    plan = parse_mapping(mapping)
+
+    def objs(infer):
+        df = RMLCompiler(spark, plan,
+                         infer_literal_datatypes=infer).compile()
+        return {r["p"]: r["o"] for r in df.collect()}
+
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    on = objs(True)
+    assert on["<http://ex.com/n>"] == f'"7"^^<{xsd}integer>'
+    assert on["<http://ex.com/x>"] == f'"2.5"^^<{xsd}double>'
+    assert on["<http://ex.com/ok>"] == f'"true"^^<{xsd}boolean>'
+    assert on["<http://ex.com/name>"] == '"a"'  # string stays plain
+    off = objs(False)
+    assert off["<http://ex.com/n>"] == '"7"'
+    assert off["<http://ex.com/x>"] == '"2.5"'
+    assert off["<http://ex.com/ok>"] == '"true"'
