@@ -130,11 +130,13 @@ def escape_angle(col: Column) -> Column:
 
 
 # transliteration standing in for unidecode (not installed): Latin-1 +
-# Latin-Extended-A + Greek + Cyrillic single-char mappings via translate,
-# multi-char expansions (æ→ae, ß→ss, θ→th, ж→zh, …) via a replace chain;
-# remaining scripts (CJK, Arabic, …) pass through (documented gap vs
-# unidecode's full coverage). Greek/Cyrillic target strings follow
-# unidecode's published tables (η→e, χ→kh, щ→shch, …).
+# Latin-Extended-A + Greek + Cyrillic + Arabic single-char mappings via
+# translate, multi-char expansions (æ→ae, ß→ss, θ→th, ж→zh, ث→th, …) via a
+# replace chain; remaining scripts (CJK, …) pass through (documented gap vs
+# unidecode's full coverage). Greek/Cyrillic/Arabic target strings follow
+# unidecode's published tables (η→e, χ→kh, щ→shch, خ→kh, ش→sh, …); Arabic
+# emphatic-consonant case markers (S/D/T/Z/H) wash out in the slug's
+# lowercase step, matching the reference's post-unidecode lower().
 _TRANSLIT_SRC = (
     "àáâãäåèéêëìíîïòóôõöùúûüýÿñçÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÑÇ"
     "āăąćĉċčďđēĕėęěĝğġģĥīĭįıĵķĺļľŀłńņňŉōŏőŕŗřśŝşšţťŧũūŭůűųŵŷźżž"
@@ -143,6 +145,7 @@ _TRANSLIT_SRC = (
     "ΑΒΓΔΕΖΗΙΚΛΜΝΞΟΠΡΣΤΥΩΆΈΉΊΌΎΏΪΫ"
     "абвгдезийклмнопрстуфыэёі"
     "АБВГДЕЗИЙКЛМНОПРСТУФЫЭЁІ"
+    "اأإآؤئبةتجحدرزسصضطظفقكلمنهويى٠١٢٣٤٥٦٧٨٩"
 )
 _TRANSLIT_DST = (
     "aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNC"
@@ -152,6 +155,7 @@ _TRANSLIT_DST = (
     "ABGDEZEIKLMNXOPRSTUOAEEIOUOIU"
     "abvgdeziiklmnoprstufyeei"
     "ABVGDEZIIKLMNOPRSTUFYEEI"
+    "aaiawybhtjHdrzsSDTZfqklmnhwyy0123456789"
 )
 # multi-char expansions (and deletions) translate() cannot express
 _TRANSLIT_MULTI = [("æ", "ae"), ("Æ", "AE"), ("œ", "oe"), ("Œ", "OE"),
@@ -168,7 +172,13 @@ _TRANSLIT_MULTI = [("æ", "ae"), ("Æ", "AE"), ("œ", "oe"), ("Œ", "OE"),
                    ("ю", "yu"), ("Ю", "Yu"), ("я", "ya"), ("Я", "Ya"),
                    ("ъ", ""), ("Ъ", ""), ("ь", ""), ("Ь", ""),
                    ("ї", "yi"), ("Ї", "Yi"), ("є", "ie"), ("Є", "Ie"),
-                   ("ґ", "g"), ("Ґ", "G")]
+                   ("ґ", "g"), ("Ґ", "G"),
+                   # Arabic digraphs + hamza/ayn (→ apostrophe, stripped by
+                   # the slug's punctuation removal) + short-vowel marks
+                   ("ث", "th"), ("خ", "kh"), ("ذ", "dh"), ("ش", "sh"),
+                   ("غ", "gh"), ("ء", "'"), ("ع", "'"),
+                   ("ً", "an"), ("ٌ", "un"), ("ٍ", "in"),
+                   ("َ", "a"), ("ُ", "u"), ("ِ", "i"), ("ّ", ""), ("ْ", "")]
 
 
 def irify_full(col: Column) -> Column:

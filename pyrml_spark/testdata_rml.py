@@ -695,6 +695,64 @@ FROM nation
 """
 
 
+def _nation_typed_json(spark: SparkSession, sf_dir: str) -> str:
+    """Nation rows as a JSON array with NATIVE scalar types (int keys) —
+    the INFER_LITERAL_DATATYPES surface (typed literals from source
+    column types, reference pyrml_core.py:277-287)."""
+    import json
+
+    path = os.path.join(_derived_dir(sf_dir), "nation_typed.json")
+    if not os.path.exists(path):
+        rows = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .orderBy("n_nationkey").collect()
+        )
+        doc = [{"n_nationkey": int(r["n_nationkey"]),
+                "n_name": r["n_name"],
+                "n_regionkey": int(r["n_regionkey"])} for r in rows]
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)
+    return path
+
+
+_JSON_TYPED_MAP = """
+<#NatTyped> rml:logicalSource [ rml:source "{{ json_path }}" ;
+    rml:referenceFormulation ql:JSONPath ; rml:iterator "$[*]" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/nation/{n_nationkey}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ;
+    rr:objectMap [ rml:reference "n_name" ] ] ;
+  rr:predicateObjectMap [ rr:predicate ex:region ;
+    rr:objectMap [ rml:reference "n_regionkey" ] ] .
+"""
+
+
+def q_json_typed_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8+/1.2: INFER_LITERAL_DATATYPES on — the bigint n_regionkey column
+    yields xsd:integer literals with NO rr:datatype in the mapping; the
+    string n_name stays plain."""
+    path = _nation_typed_json(spark, sf_dir)
+    plan = parse_mapping(_PRELUDE + _JSON_TYPED_MAP,
+                         template_vars={"json_path": path})
+    return RMLCompiler(spark, plan, infer_literal_datatypes=True).compile()
+
+
+ORACLE_JSON_TYPED = f"""
+SELECT DISTINCT s, p, o, g FROM (
+  SELECT '<http://ex.com/nation/' || n_nationkey || '>' AS s,
+         '<http://ex.com/name>' AS p, '"' || n_name || '"' AS o,
+         CAST(NULL AS VARCHAR) AS g
+  FROM nation
+  UNION ALL
+  SELECT '<http://ex.com/nation/' || n_nationkey || '>',
+         '<http://ex.com/region>',
+         '"' || n_regionkey || '"^^<{XSD}integer>', NULL
+  FROM nation
+)
+"""
+
+
 def _nation_xml(spark: SparkSession, sf_dir: str) -> str:
     from xml.sax.saxutils import escape, quoteattr
 
@@ -777,6 +835,7 @@ RML_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rml_csvw_source": q_csvw_source,
     "rml_json_source": q_json_source,
     "rml_json_descent": q_json_descent,
+    "rml_json_typed_literals": q_json_typed_literals,
     "rml_xml_source": q_xml_source,
 }
 
@@ -798,5 +857,6 @@ RML_ORACLES: Dict[str, str] = {
     "rml_csvw_source": ORACLE_CSVW_SOURCE,
     "rml_json_source": ORACLE_JSON_SOURCE,
     "rml_json_descent": ORACLE_JSON_DESCENT,
+    "rml_json_typed_literals": ORACLE_JSON_TYPED,
     "rml_xml_source": ORACLE_XML_SOURCE,
 }

@@ -45,3 +45,28 @@ def test_bootstrap_allowance_is_tight():
     uses = [n for n in ast.walk(tree)
             if isinstance(n, ast.Attribute) and n.attr == "sparkContext"]
     assert len(uses) <= 1
+
+
+def test_connect_session_smoke():
+    """Real Spark Connect smoke: compile one mapping through a Connect
+    session (builder.remote auto-starts a local connect server). The
+    sandbox lacks grpcio (pip installs are off), so this skips here and
+    runs wherever the Connect client deps exist — the AST guard above is
+    the sandbox-side evidence."""
+    import pytest
+    pytest.importorskip("grpc", reason="grpcio not installed in sandbox")
+    pytest.importorskip("google.protobuf",
+                        reason="protobuf not installed in sandbox")
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.remote("local[2]")
+             .appName("pyrml_connect_smoke").getOrCreate())
+    try:
+        from pyrml_spark import convert
+
+        df = convert(spark,
+                     "/root/reference/examples/artists/artist-map.ttl",
+                     search_roots=["/root/reference"])
+        assert df.count() == 9
+    finally:
+        spark.stop()

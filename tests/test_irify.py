@@ -53,3 +53,16 @@ def test_irify_greek_and_cyrillic(spark):
     ])
     assert got == ["ellenika", "thessalonike", "psukhe_phos", "kirillitsa",
                    "moskva_obekt", "shchedrik_yuzhnyi", "kiyiv_ganok"], got
+
+
+def test_irify_arabic(spark):
+    """Round-4: Arabic transliteration (unidecode-style romanization —
+    خ→kh, ش→sh, ث→th, ع/ء→' then stripped by slug punctuation removal,
+    emphatics case-wash in lower(), Arabic-Indic digits → ASCII)."""
+    got = vals(spark, "v", [
+        "كتاب",          # kitab consonantal → ktab
+        "شمس خبز",       # → shms khbz
+        "عربي",          # ayn dropped → rby
+        "صفر ٣٢",        # emphatic S + digits → Sfr 32 → sfr_32
+    ])
+    assert got == ["ktab", "shms_khbz", "rby", "sfr_32"], got
