@@ -77,6 +77,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     # exceed a df cap). Keep-everything-not-hot is a broadcast anti-join.
     hot = df_counts.filter(F.col("df") > max_df).select("shingle")
     sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti")
+    # persisted: THREE consumers (sizes, both self-join sides) would each
+    # re-run the scan + explode + anti-join subtree otherwise — measured
+    # 1.5× on the whole query at sf0.1. MEMORY_AND_DISK: the exploded
+    # shingle table can exceed executor memory at corpus scale; spilling a
+    # cached block still beats recomputing the explode.
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -199,6 +207,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
             )
         ).alias("bb"),
     ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    # NOT persisted (unlike ngram-jaccard's shingle table): both self-join
+    # sides are byte-identical plans over the SAME doc_id exchange, so
+    # Catalyst's ReusedExchange already computes the aggregate subtree once
+    # — a persist here only added cache-write overhead (measured).
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
