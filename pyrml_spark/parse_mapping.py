@@ -184,6 +184,12 @@ class _Builder:
             node, RML + "query"
         )
         dsn = g.obj_value(node, R.D2RQ + "jdbcDSN")
+        if dsn is None:
+            # reference shape: the DSN hangs on the rml:source node
+            # (pyrml_core.py:1630 — g.value(source, d2rq.jdbcDSN))
+            src_node = g.obj(node, RML + "source")
+            if src_node is not None and src_node[0] != "literal":
+                dsn = g.obj_value(src_node, R.D2RQ + "jdbcDSN")
         endpoint = g.obj(node, R.SD + "endpoint")
         iterator = g.obj_value(node, RML + "iterator")
         sep = g.obj_value(node, CRML + "separator") or ","

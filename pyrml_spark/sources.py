@@ -371,7 +371,11 @@ class SourceLoader:
         if ls.kind == "table":
             return spark.read.table(ls.source)
         if ls.kind == "sql":
-            # rr:tableName / rr:sqlQuery over a JDBC DSN (pyrml_core.py:939-963)
+            # rr:tableName / rr:sqlQuery over a JDBC DSN
+            # (pyrml_core.py:939-963). Executed end-to-end in this sandbox
+            # against embedded Derby (ships with Spark) —
+            # test_sql_source_executes_via_embedded_derby; any JDBC driver
+            # on the executor classpath works the same way.
             if not ls.source:
                 raise SourceError("SQL source requires a d2rq:jdbcDSN url")
             reader = spark.read.format("jdbc").option("url", ls.source)
