@@ -753,6 +753,55 @@ SELECT DISTINCT s, p, o, g FROM (
 """
 
 
+def _region_derby(spark: SparkSession, sf_dir: str) -> str:
+    """Region rows seeded into an embedded Derby database (the JDBC driver
+    Spark ships for its hive metastore) — S6 executed in the driver harness,
+    not just parse-tested. Idempotent per sf_dir; Derby embedded is
+    single-JVM but the driver runs queries sequentially in one session."""
+    db = os.path.join(_derived_dir(sf_dir), "derby_region")
+    marker = db + ".seeded"
+    if not os.path.exists(marker):
+        rows = spark.read.parquet(f"{sf_dir}/region.parquet") \
+            .select("r_regionkey", "r_name")
+        (rows.write.format("jdbc")
+             .option("url", f"jdbc:derby:{db};create=true")
+             .option("dbtable", "REGION").mode("overwrite").save())
+        with open(marker, "w") as f:
+            f.write("ok")
+    return db
+
+
+_SQL_SOURCE_MAP = """
+@prefix d2rq: <http://www.wiwiss.fu-berlin.de/suhl/bizer/D2RQ/0.1#> .
+<#RegSql> rml:logicalSource [
+    rml:source [ d2rq:jdbcDSN "jdbc:derby:{{ derby_db }}" ] ;
+    rr:tableName "REGION" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/region/{r_regionkey}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ;
+    rr:objectMap [ rml:reference "r_name" ] ] .
+"""
+
+
+def q_sql_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 in the driver: d2rq:jdbcDSN (reference source-node shape,
+    pyrml_core.py:1630) + rr:tableName over embedded Derby; Derby's
+    upper-cased identifiers exercise case-insensitive references (T2)."""
+    db = _region_derby(spark, sf_dir)
+    plan = parse_mapping(_PRELUDE + _SQL_SOURCE_MAP,
+                         template_vars={"derby_db": db})
+    return RMLCompiler(spark, plan).compile()
+
+
+ORACLE_SQL_SOURCE = """
+SELECT DISTINCT
+  '<http://ex.com/region/' || r_regionkey || '>' AS s,
+  '<http://ex.com/name>' AS p,
+  '"' || r_name || '"' AS o,
+  CAST(NULL AS VARCHAR) AS g
+FROM region
+"""
+
+
 def _nation_xml(spark: SparkSession, sf_dir: str) -> str:
     from xml.sax.saxutils import escape, quoteattr
 
@@ -836,6 +885,7 @@ RML_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rml_json_source": q_json_source,
     "rml_json_descent": q_json_descent,
     "rml_json_typed_literals": q_json_typed_literals,
+    "rml_sql_source": q_sql_source,
     "rml_xml_source": q_xml_source,
 }
 
@@ -858,5 +908,6 @@ RML_ORACLES: Dict[str, str] = {
     "rml_json_source": ORACLE_JSON_SOURCE,
     "rml_json_descent": ORACLE_JSON_DESCENT,
     "rml_json_typed_literals": ORACLE_JSON_TYPED,
+    "rml_sql_source": ORACLE_SQL_SOURCE,
     "rml_xml_source": ORACLE_XML_SOURCE,
 }
