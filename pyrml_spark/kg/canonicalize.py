@@ -41,6 +41,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     on_iteration: Optional[Callable[[int, int], None]] = None,
+    double_from: int = 2,
 ) -> DataFrame:
     """edges(src, dst) → (node, component) where component = min node id
     (string min) in the connected component.
@@ -84,23 +85,37 @@ def connected_components(
         # shared by two concurrently-materializing AQE stages re-derives
         # the whole subtree twice (see BENCH/BASELINE.md, sameAs-subtree
         # note).
-        half = half.localCheckpoint(eager=True)
-        lut = half.select(F.col("node").alias("lut_node"),
-                          F.col("cand").alias("lut_cand"))
-        new_labels = (
-            half.join(lut, half.cand == F.col("lut_node"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cand"),
-                    F.coalesce(F.col("lut_cand"), F.col("cand")),
-                ).alias("component"),
-                (F.least(
-                    F.col("cand"),
-                    F.coalesce(F.col("lut_cand"), F.col("cand")),
-                 ) < F.col("old_component")).cast("int").alias("changed"),
+        #
+        # The doubling step is SKIPPED for the first ``double_from`` rounds:
+        # doubling can't jump further than propagation has reached, so it
+        # only pays from round 2 on — short-diameter graphs (this corpus:
+        # alias chains of length ≤ 3) converge before it ever runs, saving
+        # a self-join + checkpoint job per round; long chains still get
+        # O(log diameter) total rounds (measured: 500-node chain ≤ 14).
+        if it >= double_from:
+            half = half.localCheckpoint(eager=True)
+            lut = half.select(F.col("node").alias("lut_node"),
+                              F.col("cand").alias("lut_cand"))
+            doubled = F.least(
+                F.col("cand"),
+                F.coalesce(F.col("lut_cand"), F.col("cand")),
             )
-        )
+            new_labels = (
+                half.join(lut, half.cand == F.col("lut_node"), "left")
+                .select(
+                    "node",
+                    doubled.alias("component"),
+                    (doubled < F.col("old_component"))
+                    .cast("int").alias("changed"),
+                )
+            )
+        else:
+            new_labels = half.select(
+                "node",
+                F.col("cand").alias("component"),
+                (F.col("cand") < F.col("old_component"))
+                .cast("int").alias("changed"),
+            )
         # lazy checkpoint + immediate aggregate: the agg action materializes
         # the checkpoint AND returns the convergence count in ONE job per
         # iteration (eager=True plus a separate agg ran two)
