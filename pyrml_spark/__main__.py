@@ -23,9 +23,11 @@ def main(argv=None) -> int:
     ap.add_argument("-o", "--output", default=None,
                     help="output path (directory); stdout if omitted")
     ap.add_argument("-f", "--format", default="ntriples",
-                    choices=["nquads", "ntriples", "parquet",
+                    choices=["nquads", "ntriples", "parquet", "table",
                              "turtle", "ttl", "n3", "trig",
                              "xml", "pretty-xml", "trix"])
+    ap.add_argument("--buckets", type=int, default=32,
+                    help="subject-hash buckets for -f table")
     ap.add_argument("-p", "--parallelism", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "4")))
     ap.add_argument("-v", "--var", action="append", default=[],
@@ -69,6 +71,15 @@ def main(argv=None) -> int:
             print("parquet output requires -o", file=sys.stderr)
             return 2
         df.write.mode("overwrite").parquet(args.output)
+    elif args.format == "table":
+        # the scale sink: subject-hash-bucketed partitioned table (Iceberg
+        # when a catalog is configured, identical parquet layout otherwise)
+        if not args.output:
+            print("table output requires -o", file=sys.stderr)
+            return 2
+        from .kg.table import write_triples_table
+
+        write_triples_table(df, args.output, n_buckets=args.buckets)
     elif args.format in ("xml", "pretty-xml", "trix"):
         # XML family (reference pyrml-mapper.py:37-52): driver-side pretty
         # formats like turtle — see rdfxml.py module docstring
