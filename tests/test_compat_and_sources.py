@@ -354,3 +354,34 @@ def test_sql_source_executes_via_embedded_derby(spark, tmp_path):
         ("<http://ex.com/n/1>", "<http://ex.com/name>", '"alpha"'),
         ("<http://ex.com/n/2>", "<http://ex.com/name>", '"beta"'),
     }
+
+
+def test_sql_source_query_variant(spark, tmp_path):
+    """rr:sqlQuery over the same embedded Derby DB — the query-pushdown
+    branch of the JDBC reader (projection + predicate run IN the database,
+    reference pyrml_core.py:952 'SELECT * FROM table' default overridden)."""
+    from pyrml_spark.compiler import RMLCompiler
+    from pyrml_spark.parse_mapping import parse_mapping
+
+    db = str(tmp_path / "derbyq")
+    url = f"jdbc:derby:{db};create=true"
+    src = spark.createDataFrame(
+        [(1, "alpha", 10), (2, "beta", 99), (3, "gamma", 7)],
+        ["n_id", "n_name", "n_score"])
+    (src.write.format("jdbc").option("url", url)
+        .option("dbtable", "SCORES").mode("overwrite").save())
+
+    mapping = PRELUDE + """
+    @prefix d2rq: <http://www.wiwiss.fu-berlin.de/suhl/bizer/D2RQ/0.1#> .
+    <#Q> rml:logicalSource [
+        rml:source [ d2rq:jdbcDSN "jdbc:derby:%s" ] ;
+        rr:sqlQuery "SELECT \\"n_id\\", \\"n_name\\" FROM SCORES WHERE \\"n_score\\" < 50" ] ;
+      rr:subjectMap [ rr:template "http://ex.com/n/{n_id}" ] ;
+      rr:predicateObjectMap [ rr:predicate ex:name ;
+        rr:objectMap [ rml:reference "n_name" ] ] .
+    """ % db
+    plan = parse_mapping(mapping)
+    got = {(r["s"], r["o"])
+           for r in RMLCompiler(spark, plan).compile().collect()}
+    assert got == {("<http://ex.com/n/1>", '"alpha"'),
+                   ("<http://ex.com/n/3>", '"gamma"')}
