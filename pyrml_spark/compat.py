@@ -98,8 +98,11 @@ def serialize(df: DataFrame, format: str = "nt",
     fmt = format.lower().replace("_", "-")
     quads = df_to_quads(df)
     if fmt in ("nt", "ntriples", "nt11"):
+        # dedup over TRIPLES, not quads: the same (s,p,o) asserted in two
+        # named graphs is one N-Triples line (rdflib Graph semantics)
         text = "\n".join(sorted(f"{s} {p} {o} ."
-                                for s, p, o, _g in set(quads))) + "\n"
+                                for s, p, o in {(s, p, o)
+                                                for s, p, o, _g in quads})) + "\n"
     elif fmt in ("nquads", "nq"):
         text = "\n".join(sorted(
             f"{s} {p} {o}{' ' + g if g else ''} ."

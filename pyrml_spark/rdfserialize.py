@@ -73,11 +73,21 @@ def prefix_table_from_df(df: DataFrame, max_prefixes: int = 16) -> Dict[str, str
     terms = df.select(F.col("s").alias("t")).unionByName(
         df.select(F.col("p").alias("t"))
     ).unionByName(df.select(F.col("o").alias("t")))
+    # Same namespace rule as _namespace_of: split at the last '#' when the
+    # IRI contains one (no fallback to '/' if the local part is unsafe),
+    # else at the last '/'. Keeping both paths on one rule means every
+    # registered @prefix is actually usable by _shorten_iri.
     iris = (
         terms.filter(F.col("t").startswith("<"))
         .select(F.regexp_replace("t", "^<|>$", "").alias("iri"))
         .select(
-            F.regexp_extract("iri", r"^(.*[#/])[A-Za-z0-9_][A-Za-z0-9_-]*$", 1)
+            F.when(
+                F.col("iri").contains("#"),
+                F.regexp_extract("iri", r"^(.*#)[A-Za-z0-9_][A-Za-z0-9_-]*$", 1),
+            )
+            .otherwise(
+                F.regexp_extract("iri", r"^(.*/)[A-Za-z0-9_][A-Za-z0-9_-]*$", 1)
+            )
             .alias("ns")
         )
         .filter(F.length("ns") > 8)  # len("http://x")
@@ -247,7 +257,9 @@ def write_turtle(df: DataFrame, path: str, trig: bool = False,
     one subject group). For bulk/sharded output use
     :func:`pyrml_spark.nquads.write_nquads` or the table sink."""
     prefixes = prefix_table_from_df(df)
-    has_g = "g" in df.columns
+    has_g = trig and "g" in df.columns
+    # Turtle ignores the graph column entirely, so sort/dedup on (s,p,o)
+    # only; TriG needs graph-major order to stream one block at a time.
     cols = ["g", "s", "p", "o"] if has_g else ["s", "p", "o"]
     it = df.select(*cols).distinct().orderBy(*cols).toLocalIterator()
 
@@ -256,13 +268,6 @@ def write_turtle(df: DataFrame, path: str, trig: bool = False,
             fh.write(line + "\n")
         if not trig:
             triples = ((r["s"], r["p"], r["o"]) for r in it)
-            # orderBy g,s,p,o still groups by s within a graph; for turtle we
-            # ignore g so re-sort is needed only when g varies — stream via
-            # full sort on s,p,o instead.
-            if has_g:
-                it2 = (df.select("s", "p", "o").distinct()
-                       .orderBy("s", "p", "o").toLocalIterator())
-                triples = ((r["s"], r["p"], r["o"]) for r in it2)
             for block in _subject_blocks(triples, prefixes):
                 fh.write("\n" + block + "\n")
             return
@@ -296,36 +301,60 @@ def write_turtle(df: DataFrame, path: str, trig: bool = False,
 # TriG parsing (round-trip tests + golden comparison)
 # ---------------------------------------------------------------------------
 
-_GRAPH_BLOCK_RE = re.compile(
-    r"(?P<label><[^>]*>|[A-Za-z_][\w.\-]*:[\w.\-%~]*)\s*\{(?P<body>[^{}]*)\}",
-    re.DOTALL,
+# Graph-block open/close are recognized LINE-WISE at column 0 — exactly how
+# serialize_trig/write_turtle emit them. Braces inside quoted literals sit on
+# indented triple lines and therefore can never open or close a block.
+_GRAPH_OPEN_RE = re.compile(
+    r"^(?P<label><[^>]*>|[A-Za-z_][\w.\-]*:[\w.\-%~]*)\s*\{\s*$"
 )
 
 
 def parse_trig(text: str) -> List[Quad]:
     """Parse TriG produced by :func:`serialize_trig` (prefix header,
-    top-level default-graph triples, flat ``label { ... }`` blocks — no
-    nested or GRAPH-keyword forms) into NT-formatted quads."""
+    top-level default-graph triples, flat ``label { ... }`` blocks opened and
+    closed at column 0 — no nested or GRAPH-keyword forms) into NT-formatted
+    quads. Line-anchored scanning: ``{``/``}`` inside quoted literals cannot
+    be mistaken for block delimiters, and byte-identical duplicate blocks
+    are handled positionally."""
     from .turtle import parse_turtle
 
-    header_lines = [ln for ln in text.splitlines()
+    lines = text.splitlines()
+    header_lines = [ln for ln in lines
                     if ln.startswith(("@prefix", "@base", "PREFIX", "BASE"))]
     header = "\n".join(header_lines) + "\n"
 
     quads: List[Quad] = []
-    rest = text
-    for m in _GRAPH_BLOCK_RE.finditer(text):
-        triples, _base, _prefixes = parse_turtle(header + m.group("body"))
+    default_lines: List[str] = []
+    cur_label: Optional[str] = None
+    body: List[str] = []
+
+    def close_block() -> None:
+        triples, _base, _prefixes = parse_turtle(header + "\n".join(body))
         # resolve the graph label through the same parser: make it the
         # subject of a dummy triple and take the parsed subject term
         ltriples, _b, _p = parse_turtle(
-            header + m.group("label") + " <urn:x:p> <urn:x:o> .")
+            header + cur_label + " <urn:x:p> <urn:x:o> .")
         g_nt = _term_to_nt(ltriples[0][0])
         quads.extend((_term_to_nt(s), _term_to_nt(p), _term_to_nt(o), g_nt)
                      for s, p, o in triples)
-        rest = rest.replace(m.group(0), "")
+
+    for ln in lines:
+        if cur_label is not None:
+            if ln.rstrip() == "}":
+                close_block()
+                cur_label, body = None, []
+            else:
+                body.append(ln)
+            continue
+        m = _GRAPH_OPEN_RE.match(ln)
+        if m:
+            cur_label = m.group("label")
+        else:
+            default_lines.append(ln)
+    if cur_label is not None:
+        raise ValueError(f"unterminated graph block {cur_label!r}")
     # default graph = whatever parses outside the blocks
-    triples, _base, _prefixes = parse_turtle(rest)
+    triples, _base, _prefixes = parse_turtle("\n".join(default_lines))
     quads.extend((_term_to_nt(s), _term_to_nt(p), _term_to_nt(o), None)
                  for s, p, o in triples)
     return quads

@@ -17,6 +17,7 @@ predicate-pushdown-capable). The JSONPath iterator subset compiles to
 from __future__ import annotations
 
 import os
+import re
 from typing import Dict, List, Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -68,15 +69,89 @@ def _flatten_struct_cols(df: DataFrame) -> DataFrame:
     return df.select(*walk2(df.schema, []))
 
 
+_FILTER_RE = re.compile(
+    r"^@((?:\.[A-Za-z0-9_$\-]+)+)\s*"
+    r"(?:(==|=|!=|<=|>=|<|>)\s*(.+?)\s*)?$"
+)
+
+
+def _parse_predicate(inner: str, iterator: str) -> tuple:
+    """``?(@.a.b <op> literal)`` | ``?(@.a)`` → ("filter", (fields, op, lit)).
+
+    Literals: int/float, single/double-quoted string, true/false/null.
+    Anything richer (boolean connectives, nested ``[?()]``, regex match,
+    @-to-@ comparison) raises :class:`SourceError`."""
+    body = inner[1:].strip()  # drop '?'
+    if body.startswith("(") and body.endswith(")"):
+        body = body[1:-1].strip()
+    m = _FILTER_RE.match(body)
+    if not m or "&&" in body or "||" in body:
+        raise SourceError(
+            f"unsupported JSONPath filter [{inner}] in {iterator!r} (only "
+            "'[?(@.field <op> literal)]' and existence '[?(@.field)]' are "
+            "supported; no boolean connectives / regex / @-to-@ compares)")
+    fields = tuple(m.group(1).strip(".").split("."))
+    op, raw = m.group(2), m.group(3)
+    if op is None:
+        return ("filter", (fields, None, None))
+    if op == "=":
+        op = "=="
+    lit: object
+    if raw in ("null", "None"):
+        lit = None
+    elif raw in ("true", "false"):
+        lit = raw == "true"
+    elif len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in "'\"":
+        lit = raw[1:-1]
+    else:
+        try:
+            lit = int(raw)
+        except ValueError:
+            try:
+                lit = float(raw)
+            except ValueError:
+                raise SourceError(
+                    f"unsupported JSONPath filter literal {raw!r} in "
+                    f"{iterator!r}") from None
+    return ("filter", (fields, op, lit))
+
+
+def _parse_bracket(inner: str, iterator: str) -> tuple:
+    """One ``[...]`` step body → parsed step tuple."""
+    if inner in ("*", "'*'", '"*"'):
+        return ("explode", None)
+    if inner.lstrip("-").isdigit():
+        return ("index", int(inner))
+    if len(inner) >= 2 and inner[0] == inner[-1] and inner[0] in "'\"":
+        return ("field", inner[1:-1])  # bracket-quoted field: $['a b']
+    if ":" in inner:
+        parts = [p.strip() for p in inner.split(":")]
+        if len(parts) == 3 and parts[2] in ("", "1"):
+            parts = parts[:2]
+        if len(parts) == 2 and all(
+                p == "" or p.lstrip("-").isdigit() for p in parts):
+            a = int(parts[0]) if parts[0] else None
+            b = int(parts[1]) if parts[1] else None
+            return ("slice", (a, b))
+        raise SourceError(
+            f"unsupported JSONPath slice [{inner}] (step != 1 not "
+            "supported)")
+    raise SourceError(
+        f"unsupported JSONPath step [{inner}] in {iterator!r} (unions and "
+        "nested expressions are outside the supported subset)")
+
+
 def _parse_jsonpath_steps(iterator: str) -> List[tuple]:
     """Parse the JSONPath subset ``$.a.b[*]``, ``$[*]``, ``$.a[0]``,
-    ``$..name`` (recursive descent to a named field).
+    ``$..name`` (recursive descent to a named field), ``$['a b']``
+    (bracket-quoted fields), ``$.a[1:3]`` (slices, step 1), and
+    ``$.a[?(@.f <op> lit)]`` / ``$.a[?(@.f)]`` (filter predicates).
 
     Returns list of ("field", name) | ("explode", None) | ("index", i)
-    | ("descend", name).
+    | ("descend", name) | ("slice", (a, b)) | ("filter", (fields, op, lit)).
 
-    Everything outside the subset — filter predicates ``[?(...)]``, slices
-    ``[1:3]``, unions ``[a,b]``, wildcard descent ``$..*`` — raises
+    Everything outside the subset — boolean connectives in predicates,
+    unions ``[a,b]``, stepped slices, wildcard descent ``$..*`` — raises
     :class:`SourceError` LOUDLY (the reference accepts full ``jsonpath_ng``
     grammar, pyrml_core.py:886-894; a silent mis-parse would drop or
     misroute rows, so unsupported grammar must never be guessed at).
@@ -109,21 +184,60 @@ def _parse_jsonpath_steps(iterator: str) -> List[tuple]:
                     f"unsupported JSONPath step at '.' in {iterator!r}")
             i = j
         elif ch == "[":
-            j = it.index("]", i)
-            inner = it[i + 1 : j].strip()
-            if inner in ("*", "'*'", '"*"'):
-                steps.append(("explode", None))
-            elif inner.lstrip("-").isdigit():
-                steps.append(("index", int(inner)))
+            if i + 1 < len(it) and it[i + 1] == "?":
+                # predicate: scan to the matching ')]' (literal strings in
+                # predicates never contain ')]')
+                j = it.find(")]", i)
+                if j < 0:
+                    raise SourceError(
+                        f"unterminated JSONPath filter in {iterator!r}")
+                steps.append(_parse_predicate(it[i + 1 : j + 1], iterator))
+                i = j + 2
             else:
-                raise SourceError(
-                    f"unsupported JSONPath step [{inner}] (filter "
-                    "predicates / slices / unions are outside the "
-                    "supported subset)")
-            i = j + 1
+                j = it.index("]", i)
+                steps.append(_parse_bracket(it[i + 1 : j].strip(), iterator))
+                i = j + 1
         else:
             raise SourceError(f"unsupported JSONPath iterator {iterator!r}")
     return steps
+
+
+def _filter_predicate(fields, op, lit):
+    """Element-level predicate builder for ``F.filter`` (closure factory —
+    see the arity note on higher-order-function lambdas)."""
+    def pred(x: Column) -> Column:
+        c = x
+        for fld in fields:
+            c = c.getField(fld)
+        if op is None:
+            return c.isNotNull()
+        if lit is None:
+            return c.isNull() if op == "==" else c.isNotNull()
+        lcol = F.lit(lit)
+        return {"==": c == lcol, "!=": (c != lcol) & c.isNotNull(),
+                "<": c < lcol, "<=": c <= lcol,
+                ">": c > lcol, ">=": c >= lcol}[op]
+    return pred
+
+
+def _slice_col(col: Column, a: Optional[int], b: Optional[int]) -> Column:
+    """Python-slice semantics (clamped, negatives from the end) over an
+    array column — start/end resolved against ``size`` JVM-side."""
+    n = F.size(col)
+    if a is None:
+        start = F.lit(0)
+    elif a >= 0:
+        start = F.least(F.lit(a), n)
+    else:
+        start = F.greatest(n + F.lit(a), F.lit(0))
+    if b is None:
+        end = n
+    elif b >= 0:
+        end = F.least(F.lit(b), n)
+    else:
+        end = F.greatest(n + F.lit(b), F.lit(0))
+    length = F.greatest(end - start, F.lit(0))
+    return F.slice(col, start + F.lit(1), length)
 
 
 def _descend_programs(dtype, name: str) -> List[List[tuple]]:
@@ -204,6 +318,29 @@ def load_json_source(
             if node is None:
                 raise SourceError("top-level [n] unsupported")
             df = df.select(F.col("__node__").getItem(arg).alias("__node__"))
+            node = F.col("__node__")
+        elif kind == "filter":
+            fields, op, lit = arg
+            pred = _filter_predicate(fields, op, lit)
+            if node is None:
+                # top-level array: rows ARE the elements — filter rows
+                c = F.col("`" + fields[0] + "`")
+                for fld in fields[1:]:
+                    c = c.getField(fld)
+                df = df.filter(_filter_predicate((), op, lit)(c))
+                continue
+            df = df.select(
+                F.explode(F.filter("__node__", pred)).alias("__node__"))
+            node = F.col("__node__")
+        elif kind == "slice":
+            if node is None:
+                raise SourceError(
+                    "top-level slice '$[a:b]' unsupported: a distributed "
+                    "JSON read has no stable element order to slice on")
+            a, b = arg
+            df = df.select(
+                F.explode(_slice_col(F.col("__node__"), a, b))
+                .alias("__node__"))
             node = F.col("__node__")
         elif kind == "descend":
             df = _apply_descend(df, node, arg)

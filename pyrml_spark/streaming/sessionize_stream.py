@@ -24,7 +24,9 @@ Equality with the batch sessionizer over a drained stream is tested
 
 from __future__ import annotations
 
-from typing import Any, Iterator, Tuple
+import re
+import warnings
+from typing import Any, Iterator, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -78,6 +80,9 @@ def _make_sessionizer(gap_seconds: float):
             elif epoch - open_sess[1] > gap_seconds:
                 closed.append(tuple(open_sess))
                 open_sess = [epoch, epoch, 0, 0.0]
+            # a late cross-batch event may pre-date the open session's
+            # start — extend the session backwards, not just forwards
+            open_sess[0] = min(open_sess[0], epoch)
             open_sess[1] = max(open_sess[1], epoch)
             open_sess[2] += 1
             open_sess[3] += float(value)
@@ -96,17 +101,49 @@ def _make_sessionizer(gap_seconds: float):
     return sessionize
 
 
+_WM_UNITS = {
+    "microsecond": 1e-6, "millisecond": 1e-3, "second": 1.0,
+    "minute": 60.0, "hour": 3600.0, "day": 86400.0, "week": 604800.0,
+}
+
+
+def _watermark_seconds(watermark: str) -> Optional[float]:
+    m = re.match(r"^\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+?)s?\s*$", watermark)
+    if not m or m.group(2).lower() not in _WM_UNITS:
+        return None
+    return float(m.group(1)) * _WM_UNITS[m.group(2).lower()]
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_minutes: int = GAP_MINUTES,
-    watermark: str = "10 minutes",
+    watermark: Optional[str] = None,
 ) -> DataFrame:
     """Streaming (user_id, event_id, ts, value) → closed sessions.
 
     ``events`` must be a streaming DataFrame with an event-time ``ts``
     column. Returns an append-mode stream of
     (user_id, session_start, n_events, total_value).
+
+    ``watermark`` defaults to the gap itself. Exact equivalence with the
+    batch sessionizer on OUT-OF-ORDER input requires ``watermark >= gap``:
+    with a shorter watermark a late event that belongs to a session already
+    closed by the gap rule can still arrive and is merged into the newer
+    open session instead. A shorter watermark is allowed (cheaper state,
+    earlier emission) but a warning is raised.
     """
+    if watermark is None:
+        watermark = f"{gap_minutes} minutes"
+    wm_s = _watermark_seconds(watermark)
+    if wm_s is not None and wm_s < gap_minutes * 60.0:
+        warnings.warn(
+            f"sessionize_stream: watermark {watermark!r} is shorter than the "
+            f"session gap ({gap_minutes} min); late events older than the "
+            "watermark but within the gap of an already-closed session will "
+            "merge into the newer session — use watermark >= gap for exact "
+            "batch equivalence on out-of-order input",
+            stacklevel=2,
+        )
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")

@@ -132,8 +132,9 @@ def escape_angle(col: Column) -> Column:
 # transliteration standing in for unidecode (not installed): Latin-1 +
 # Latin-Extended-A + Greek + Cyrillic + Arabic single-char mappings via
 # translate, multi-char expansions (æ→ae, ß→ss, θ→th, ж→zh, ث→th, …) via a
-# replace chain; remaining scripts (CJK, …) pass through (documented gap vs
-# unidecode's full coverage). Greek/Cyrillic/Arabic target strings follow
+# replace chain; CJK via :func:`cjk_translit` below (kana tables, algorithmic
+# Hangul, common-subset pinyin — rare hanzi pass through, the documented
+# remaining gap vs unidecode). Greek/Cyrillic/Arabic target strings follow
 # unidecode's published tables (η→e, χ→kh, щ→shch, خ→kh, ش→sh, …); Arabic
 # emphatic-consonant case markers (S/D/T/Z/H) wash out in the slug's
 # lowercase step, matching the reference's post-unidecode lower().
@@ -178,7 +179,123 @@ _TRANSLIT_MULTI = [("æ", "ae"), ("Æ", "AE"), ("œ", "oe"), ("Œ", "OE"),
                    ("ث", "th"), ("خ", "kh"), ("ذ", "dh"), ("ش", "sh"),
                    ("غ", "gh"), ("ء", "'"), ("ع", "'"),
                    ("ً", "an"), ("ٌ", "un"), ("ٍ", "in"),
-                   ("َ", "a"), ("ُ", "u"), ("ِ", "i"), ("ّ", ""), ("ْ", "")]
+                   ("َ", "a"), ("ُ", "u"), ("ِ", "i"), ("ّ", ""), ("ْ", ""),
+                   # Japanese long-vowel mark + middle dot (outside the
+                   # indexed kana blocks)
+                   ("ー", "-"), ("・", "")]
+
+
+# --- CJK transliteration (round 5, VERDICT r4 #5) -------------------------
+# Kana are a fixed indexed table (per-char romaji, exactly unidecode's
+# published x030 table — unidecode is per-character, so きゃ→'kiya' like
+# unidecode, not contextual Hepburn 'kya'). Hangul needs NO table: a
+# syllable U+AC00+((ini*21+med)*28+fin) decomposes arithmetically and is
+# romanized from the 19/21/28 jamo lists (Revised Romanization). Hanzi have
+# no algorithm — a common-subset pinyin map (unidecode-style 'Zhong ' with
+# trailing space) covers frequent characters; the rest pass through
+# (documented partial vs unidecode's full CJK tables). All of it is native
+# Columns: one F.transform over F.split(col, '') — no Python in the row
+# path — gated by a CJK rlike so non-CJK strings skip the char walk.
+_HIRAGANA = [
+    "a", "a", "i", "i", "u", "u", "e", "e", "o", "o",
+    "ka", "ga", "ki", "gi", "ku", "gu", "ke", "ge", "ko", "go",
+    "sa", "za", "shi", "ji", "su", "zu", "se", "ze", "so", "zo",
+    "ta", "da", "chi", "ji", "tsu", "tsu", "zu", "te", "de", "to", "do",
+    "na", "ni", "nu", "ne", "no",
+    "ha", "ba", "pa", "hi", "bi", "pi", "fu", "bu", "pu",
+    "he", "be", "pe", "ho", "bo", "po",
+    "ma", "mi", "mu", "me", "mo",
+    "ya", "ya", "yu", "yu", "yo", "yo",
+    "ra", "ri", "ru", "re", "ro",
+    "wa", "wa", "wi", "we", "wo", "n", "vu", "ka", "ke",
+]  # U+3041..U+3096
+_KATAKANA = _HIRAGANA + ["va", "vi", "ve", "vo"]  # U+30A1..U+30FA
+# Revised-Romanization jamo (initial 19, medial 21, final 28)
+_HANGUL_INI = ["g", "kk", "n", "d", "tt", "r", "m", "b", "pp", "s", "ss",
+               "", "j", "jj", "ch", "k", "t", "p", "h"]
+_HANGUL_MED = ["a", "ae", "ya", "yae", "eo", "e", "yeo", "ye", "o", "wa",
+               "wae", "oe", "yo", "u", "wo", "we", "wi", "yu", "eu", "ui",
+               "i"]
+_HANGUL_FIN = ["", "g", "kk", "gs", "n", "nj", "nh", "d", "l", "lg", "lm",
+               "lb", "ls", "lt", "lp", "lh", "m", "b", "bs", "s", "ss",
+               "ng", "j", "ch", "k", "t", "p", "h"]
+# common-subset hanzi → pinyin, unidecode-style (capitalized + trailing
+# space; case washes out in the slug's lower(), the space becomes '_')
+_HANZI_PINYIN = {
+    "的": "De ", "一": "Yi ", "是": "Shi ", "不": "Bu ", "人": "Ren ",
+    "我": "Wo ", "在": "Zai ", "有": "You ", "他": "Ta ", "这": "Zhe ",
+    "中": "Zhong ", "大": "Da ", "来": "Lai ", "上": "Shang ", "国": "Guo ",
+    "个": "Ge ", "到": "Dao ", "说": "Shuo ", "们": "Men ", "为": "Wei ",
+    "子": "Zi ", "和": "He ", "你": "Ni ", "地": "Di ", "出": "Chu ",
+    "道": "Dao ", "也": "Ye ", "时": "Shi ", "年": "Nian ", "就": "Jiu ",
+    "那": "Na ", "要": "Yao ", "下": "Xia ", "以": "Yi ", "生": "Sheng ",
+    "会": "Hui ", "自": "Zi ", "文": "Wen ", "日": "Ri ", "本": "Ben ",
+    "语": "Yu ", "学": "Xue ", "好": "Hao ", "北": "Bei ", "京": "Jing ",
+    "东": "Dong ", "西": "Xi ", "南": "Nan ", "海": "Hai ", "天": "Tian ",
+    "明": "Ming ", "名": "Ming ", "字": "Zi ", "山": "Shan ", "水": "Shui ",
+    "火": "Huo ", "王": "Wang ", "李": "Li ", "张": "Zhang ", "刘": "Liu ",
+    "陈": "Chen ", "杨": "Yang ", "黄": "Huang ", "赵": "Zhao ",
+    "周": "Zhou ", "吴": "Wu ", "城": "Cheng ", "市": "Shi ",
+    "省": "Sheng ", "县": "Xian ", "区": "Qu ", "街": "Jie ", "路": "Lu ",
+    "号": "Hao ", "月": "Yue ", "电": "Dian ", "话": "Hua ", "车": "Che ",
+    "花": "Hua ", "白": "Bai ", "黑": "Hei ", "红": "Hong ", "金": "Jin ",
+    "木": "Mu ", "土": "Tu ", "风": "Feng ", "云": "Yun ", "雨": "Yu ",
+    "雪": "Xue ", "星": "Xing ", "空": "Kong ", "气": "Qi ", "心": "Xin ",
+    "手": "Shou ", "口": "Kou ", "目": "Mu ", "头": "Tou ", "长": "Chang ",
+    "小": "Xiao ", "多": "Duo ", "少": "Shao ", "高": "Gao ", "新": "Xin ",
+    "老": "Lao ", "三": "San ", "二": "Er ", "四": "Si ", "五": "Wu ",
+    "六": "Liu ", "七": "Qi ", "八": "Ba ", "九": "Jiu ", "十": "Shi ",
+    "百": "Bai ", "千": "Qian ", "万": "Wan ", "零": "Ling ", "家": "Jia ",
+    "门": "Men ", "开": "Kai ", "关": "Guan ", "爱": "Ai ", "朋": "Peng ",
+    "友": "You ", "谢": "Xie ", "再": "Zai ", "见": "Jian ", "先": "Xian ",
+    "后": "Hou ", "前": "Qian ", "外": "Wai ", "内": "Nei ", "男": "Nan ",
+    "女": "Nu ", "安": "An ", "平": "Ping ", "正": "Zheng ", "方": "Fang ",
+    "公": "Gong ", "司": "Si ", "业": "Ye ", "工": "Gong ", "作": "Zuo ",
+    "用": "Yong ", "信": "Xin ", "息": "Xi ", "网": "Wang ", "站": "Zhan ",
+    "数": "Shu ", "据": "Ju ", "库": "Ku ", "表": "Biao ", "查": "Cha ",
+    "询": "Xun ",
+    # frequent traditional variants
+    "語": "Yu ", "東": "Dong ", "國": "Guo ", "學": "Xue ", "門": "Men ",
+    "車": "Che ", "馬": "Ma ", "龍": "Long ", "鳥": "Niao ", "魚": "Yu ",
+}
+_CJK_GUARD = "[ぁ-ゖァ-ヺ一-鿿가-힣]"
+
+
+def cjk_translit(col: Column) -> Column:
+    """Per-character CJK romanization, all JVM-side: split → transform →
+    array_join, evaluated only for strings the rlike guard says contain
+    CJK. Kana/hanzi by table lookup, Hangul by arithmetic decomposition."""
+    hira = F.array(*[F.lit(x) for x in _HIRAGANA])
+    kata = F.array(*[F.lit(x) for x in _KATAKANA])
+    ini = F.array(*[F.lit(x) for x in _HANGUL_INI])
+    med = F.array(*[F.lit(x) for x in _HANGUL_MED])
+    fin = F.array(*[F.lit(x) for x in _HANGUL_FIN])
+    hmap = F.create_map(*[F.lit(x) for kv in _HANZI_PINYIN.items()
+                          for x in kv])
+
+    def tr(c: Column) -> Column:
+        code = F.ascii(c)
+        hidx = code - F.lit(0xAC00)
+        return (
+            F.when((code >= 0x3041) & (code <= 0x3096),
+                   F.element_at(hira, code - F.lit(0x3041 - 1)))
+            .when((code >= 0x30A1) & (code <= 0x30FA),
+                  F.element_at(kata, code - F.lit(0x30A1 - 1)))
+            .when((code >= 0xAC00) & (code <= 0xD7A3),
+                  F.concat(
+                      F.element_at(
+                          ini, F.floor(hidx / 588).cast("int") + F.lit(1)),
+                      F.element_at(
+                          med,
+                          F.floor((hidx % 588) / 28).cast("int") + F.lit(1)),
+                      F.element_at(fin, (hidx % 28) + F.lit(1))))
+            .otherwise(F.coalesce(F.element_at(hmap, c), c))
+        )
+
+    return F.when(
+        col.rlike(_CJK_GUARD),
+        F.array_join(F.transform(F.split(col, ""), tr), ""),
+    ).otherwise(col)
 
 
 def irify_full(col: Column) -> Column:
@@ -187,7 +304,7 @@ def irify_full(col: Column) -> Column:
     collapse -/_/| runs → %3C/%3E. Applied only to strings that are not
     already http(s)/ftp URLs (the reference's URL regex guard)."""
     url_guard = col.rlike(r"(?i)^(https?|ftps?)://\S+$")
-    s = F.translate(col, _TRANSLIT_SRC, _TRANSLIT_DST)
+    s = F.translate(cjk_translit(col), _TRANSLIT_SRC, _TRANSLIT_DST)
     for frm, to in _TRANSLIT_MULTI:
         s = F.replace(s, F.lit(frm), F.lit(to))
     s = F.lower(s)

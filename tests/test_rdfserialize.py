@@ -61,6 +61,61 @@ def test_trig_roundtrip_named_graphs(spark):
     assert set(back) == set(rows)
 
 
+def test_trig_roundtrip_literal_with_brace_block(spark):
+    """ADVICE r4 (medium): a literal whose text LOOKS like a graph block
+    ('ab:cd { x }') must not be mistaken for one — parse_trig scans
+    line-anchored block delimiters, so serialize→parse still inverts."""
+    rows = [
+        ("<http://ex.com/s1>", "<http://ex.com/p>", '"ab:cd { x }"', None),
+        ("<http://ex.com/s2>", "<http://ex.com/p>", '"open { only"',
+         "<http://ex.com/g1>"),
+        ("<http://ex.com/s3>", "<http://ex.com/p>", '"} close only"',
+         "<http://ex.com/g1>"),
+    ]
+    text = serialize_trig(rows)
+    assert set(parse_trig(text)) == set(rows)
+
+
+def test_trig_duplicate_graph_blocks_positional(spark):
+    """Two named graphs with byte-identical bodies parse to distinct graph
+    assignments (the old regex + str.replace excision could mis-excise)."""
+    rows = [
+        ("<http://ex.com/s>", "<http://ex.com/p>", '"v"', "<http://ex.com/g1>"),
+        ("<http://ex.com/s>", "<http://ex.com/p>", '"v"', "<http://ex.com/g2>"),
+    ]
+    text = serialize_trig(rows)
+    assert set(parse_trig(text)) == set(rows)
+
+
+def test_prefix_table_hash_before_slash_not_registered(spark):
+    """ADVICE r4: the distributed prefix aggregate and _shorten_iri share one
+    namespace rule — an IRI with '#' before a later '/' has NO safe
+    namespace, so no unusable @prefix slot is burned for it."""
+    df = spark.createDataFrame(
+        [("<http://ex.com/a#b/c>", "<http://ex.com/voc/p>",
+          "<http://ex.com/a#b/c2>")],
+        "s string, p string, o string")
+    table = prefix_table_from_df(df)
+    assert "http://ex.com/a#b/" not in table
+    assert "http://ex.com/voc/" in table
+
+
+def test_serialize_nt_dedups_triples_across_graphs(spark):
+    """ADVICE r4: serialize(df,'nt') emits ONE line for the same (s,p,o)
+    asserted in two named graphs (rdflib Graph semantics)."""
+    from pyrml_spark.compat import serialize
+
+    df = spark.createDataFrame(
+        [("<http://ex.com/s>", "<http://ex.com/p>", '"v"',
+          "<http://ex.com/g1>"),
+         ("<http://ex.com/s>", "<http://ex.com/p>", '"v"',
+          "<http://ex.com/g2>")],
+        "s string, p string, o string, g string")
+    text = serialize(df, "nt")
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    assert lines == ['<http://ex.com/s> <http://ex.com/p> "v" .']
+
+
 def test_trig_roundtrip_rmltc0006a():
     """The reference's committed named-graph golden (output.nq) → TriG →
     parse → same quad set."""

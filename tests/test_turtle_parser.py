@@ -109,3 +109,35 @@ def test_template_vars_substitution():
         template_vars={"src": "/tmp/data.csv"},
     )
     assert plan.triples_maps[0].sources[0].source == "/tmp/data.csv"
+
+
+def test_jinja_control_flow_is_loud():
+    """VERDICT r4 #3: {% ... %} blocks (full Jinja2 in the reference,
+    pyrml_mapper.py:121-133) and unresolved {{ vars }} raise a CLEAR error
+    instead of a downstream Turtle parse error."""
+    import pytest
+
+    prelude = """
+    @prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+    @prefix rr: <http://www.w3.org/ns/r2rml#> .
+    @prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+    """
+    body = """
+    {% if full %}
+    <#M> rml:logicalSource [ rml:source "{{ src }}" ;
+                             rml:referenceFormulation ql:CSV ] ;
+         rr:subjectMap [ rr:template "http://x/{ID}" ] .
+    {% endif %}
+    """
+    with pytest.raises(ValueError, match="unsupported Jinja"):
+        parse_mapping(prelude + body, template_vars={"src": "/x.csv"})
+    # unresolved variable, same loudness
+    with pytest.raises(ValueError, match="unsupported Jinja"):
+        parse_mapping(
+            prelude + """
+            <#M> rml:logicalSource [ rml:source "{{ nope }}" ;
+                                     rml:referenceFormulation ql:CSV ] ;
+                 rr:subjectMap [ rr:template "http://x/{ID}" ] .
+            """,
+            template_vars={"src": "/x.csv"},
+        )
