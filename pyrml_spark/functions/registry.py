@@ -371,6 +371,55 @@ _LOCALE_TABLES = {
                  "cumartesi", "pazar"],
         "days_abbr": ["pzt", "sal", "çar", "per", "cum", "cmt", "paz"],
     },
+    # Greek dates use the genitive ("3 Ιανουαρίου 2020") — variant lists
+    # like the Slavic/Finnish handling above
+    "el": {
+        "months": [["ιανουαρίου", "ιανουάριος"],
+                   ["φεβρουαρίου", "φεβρουάριος"],
+                   ["μαρτίου", "μάρτιος"], ["απριλίου", "απρίλιος"],
+                   ["μαΐου", "μάιος"], ["ιουνίου", "ιούνιος"],
+                   ["ιουλίου", "ιούλιος"], ["αυγούστου", "αύγουστος"],
+                   ["σεπτεμβρίου", "σεπτέμβριος"],
+                   ["οκτωβρίου", "οκτώβριος"],
+                   ["νοεμβρίου", "νοέμβριος"],
+                   ["δεκεμβρίου", "δεκέμβριος"]],
+        "months_abbr": ["ιαν", "φεβ", "μαρ", "απρ", "μαΐ", "ιουν", "ιουλ",
+                        "αυγ", "σεπ", "οκτ", "νοε", "δεκ"],
+        "days": ["δευτέρα", "τρίτη", "τετάρτη", "πέμπτη", "παρασκευή",
+                 "σάββατο", "κυριακή"],
+        "days_abbr": ["δευ", "τρί", "τετ", "πέμ", "παρ", "σάβ", "κυρ"],
+    },
+    # CJK locales: month "names" are numeral+marker (CLDR ja/ko '1月'/'1월',
+    # zh also hanzi-numeral 一月); no word boundaries (see
+    # _localize_to_numeric)
+    "ja": {
+        "cjk": True,
+        "months": [f"{i}月" for i in range(1, 13)],
+        "months_abbr": [f"{i}月" for i in range(1, 13)],
+        "days": ["月曜日", "火曜日", "水曜日", "木曜日", "金曜日",
+                 "土曜日", "日曜日"],
+        "days_abbr": ["月", "火", "水", "木", "金", "土", "日"],
+    },
+    "zh": {
+        "cjk": True,
+        "months": [["一月", "1月"], ["二月", "2月"], ["三月", "3月"],
+                   ["四月", "4月"], ["五月", "5月"], ["六月", "6月"],
+                   ["七月", "7月"], ["八月", "8月"], ["九月", "9月"],
+                   ["十月", "10月"], ["十一月", "11月"], ["十二月", "12月"]],
+        "months_abbr": [f"{i}月" for i in range(1, 13)],
+        "days": ["星期一", "星期二", "星期三", "星期四", "星期五",
+                 "星期六", "星期日"],
+        "days_abbr": ["周一", "周二", "周三", "周四", "周五", "周六",
+                      "周日"],
+    },
+    "ko": {
+        "cjk": True,
+        "months": [f"{i}월" for i in range(1, 13)],
+        "months_abbr": [f"{i}월" for i in range(1, 13)],
+        "days": ["월요일", "화요일", "수요일", "목요일", "금요일",
+                 "토요일", "일요일"],
+        "days_abbr": ["월", "화", "수", "목", "금", "토", "일"],
+    },
 }
 
 
@@ -379,10 +428,18 @@ def _localize_to_numeric(col: Column, fmt: str, tbl: dict):
     (pattern token → %m) and strip weekday names; longest names first so a
     full name is never half-eaten by an abbreviation.
 
-    Weekdays are stripped BEFORE month replacement and every name regex is
-    word-boundary anchored: where a month abbr collides with a weekday abbr
-    (es 'mar' = marzo AND martes) the month pass would otherwise rewrite the
-    weekday token to a number, leaving a stray field and a NULL parse."""
+    Weekdays are stripped BEFORE month replacement and (for alphabetic
+    scripts) every name regex is word-boundary anchored: where a month abbr
+    collides with a weekday abbr (es 'mar' = marzo AND martes) the month
+    pass would otherwise rewrite the weekday token to a number, leaving a
+    stray field and a NULL parse. CJK tables set ``"cjk": True`` — Java's
+    ``(?U)\\b`` sees ideographs/hangul as word chars so '年1月' has no
+    boundary; those names match bare, and the single-alternation weekday
+    strip below keeps a day abbr that is a SUBSTRING of a month marker
+    (ja '月' in '1月', ko '월' in '1월') from eating the month token."""
+    def wrap(pat: str) -> str:
+        return pat if tbl.get("cjk") else f"\\b{pat}\\b"
+
     for tok in ("%A", "%a"):
         if tok in fmt:
             names = tbl["days"] if tok == "%A" else (
@@ -390,44 +447,51 @@ def _localize_to_numeric(col: Column, fmt: str, tbl: dict):
             # Anchor the strip by where the weekday token sits in the
             # FORMAT (ADVICE r3): weekday before the month ('%a %d %b') →
             # strip the FIRST occurrence in the input; weekday after the
-            # month ('%d %b %Y %a') → strip the LAST. Matters only when a
-            # weekday name equals a month name (es/it 'mar' = martes AND
-            # marzo) — the wrong anchor eats the month token and the parse
-            # NULLs (dropped triple).
+            # month ('%d %b %Y %a') → strip the LAST. Matters when a
+            # weekday name equals (es 'mar') or is contained in (ja '月',
+            # ko '월') a month token — the wrong anchor eats the month and
+            # the parse NULLs (dropped triple). ONE alternation over all
+            # names (longest first), ONE replace: a date carries one
+            # weekday, and per-name loops would let an absent name's
+            # substring match fire (ja input '…1月3日 火' must not have
+            # '月' stripped out of '1月').
             month_positions = [fmt.index(t) for t in ("%B", "%b", "%m")
                                if t in fmt]
             trailing = bool(month_positions) and \
                 fmt.index(tok) > min(month_positions)
-            for name in sorted(names, key=len, reverse=True):
-                esc = re.escape(name)
-                if trailing:
-                    # last occurrence: the match not followed by another
-                    col = F.regexp_replace(
-                        col,
-                        f"(?iU)\\b{esc}\\b\\.?((?:(?!\\b{esc}\\b).)*)$",
-                        "$1")
-                else:
-                    # first occurrence: ^-anchored lazy prefix (no
-                    # MULTILINE, so the pattern matches at most once)
-                    col = F.regexp_replace(
-                        col,
-                        f"(?iU)^((?:(?!\\b{esc}\\b).)*?)\\b{esc}\\b\\.?",
-                        "$1")
+            alt = wrap("(?:" + "|".join(
+                re.escape(n) for n in sorted(names, key=len, reverse=True))
+                + ")")
+            if trailing:
+                # last occurrence: the match not followed by another
+                col = F.regexp_replace(
+                    col, f"(?iU){alt}\\.?((?:(?!{alt}).)*)$", "$1")
+            else:
+                # first occurrence: ^-anchored lazy prefix (no MULTILINE,
+                # so the pattern matches at most once)
+                col = F.regexp_replace(
+                    col, f"(?iU)^((?:(?!{alt}).)*?){alt}\\.?", "$1")
             fmt = fmt.replace(tok, "")
+    # month number carries a trailing space, mirrored by '%m ' in the fmt
+    # (the whitespace collapse below normalizes both sides): a month name
+    # adjacent to another numeric token (ja '%Y年%B%d日' → '…年013日')
+    # would otherwise form a digit run neither the greedy single-letter nor
+    # the fixed-width java translation can split
     if "%B" in fmt:
         flat = [(num, v)
                 for num, entry in enumerate(tbl["months"], 1)
                 for v in (entry if isinstance(entry, list) else [entry])]
         for num, name in sorted(flat, key=lambda kv: -len(kv[1])):
-            col = F.regexp_replace(col, f"(?iU)\\b{re.escape(name)}\\b",
-                                   f"{num:02d}")
-        fmt = fmt.replace("%B", "%m")
+            col = F.regexp_replace(col, f"(?iU){wrap(re.escape(name))}",
+                                   f"{num:02d} ")
+        fmt = fmt.replace("%B", "%m ")
     if "%b" in fmt:
         for num, name in sorted(enumerate(tbl["months_abbr"], 1),
                                 key=lambda kv: -len(kv[1])):
-            col = F.regexp_replace(col, f"(?iU)\\b{re.escape(name)}\\b\\.?",
-                                   f"{num:02d}")
-        fmt = fmt.replace("%b", "%m")
+            col = F.regexp_replace(col,
+                                   f"(?iU){wrap(re.escape(name))}\\.?",
+                                   f"{num:02d} ")
+        fmt = fmt.replace("%b", "%m ")
     # collapse whitespace runs the removals may have left, both sides
     col = F.trim(F.regexp_replace(col, r"\s+", " "))
     fmt = re.sub(r"\s+", " ", fmt).strip()

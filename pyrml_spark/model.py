@@ -27,10 +27,11 @@ class LogicalSource:
     encoding: Optional[str] = None
     query: Optional[str] = None       # rml:query / rr:sqlQuery
     node_id: Optional[str] = None     # mapping-graph node (for source caching)
+    result_format: Optional[str] = None  # sd:resultFormat IRI (SPARQL only)
 
     def cache_key(self) -> tuple:
         return (self.kind, self.source, self.iterator, self.separator,
-                self.query)
+                self.query, self.result_format)
 
 
 # ---------------------------------------------------------------------------

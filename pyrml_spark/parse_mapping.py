@@ -204,15 +204,30 @@ class _Builder:
             if src_node is not None and src_node[0] != "literal":
                 dsn = g.obj_value(src_node, R.D2RQ + "jdbcDSN")
         endpoint = g.obj(node, R.SD + "endpoint")
+        if endpoint is None:
+            # reference shape: sd:endpoint hangs on the rml:source node
+            # (pyrml_core.py:1754 — g.value(source, sd.endpoint))
+            src_node = g.obj(node, RML + "source")
+            if src_node is not None and src_node[0] != "literal":
+                endpoint = g.obj(src_node, R.SD + "endpoint")
         iterator = g.obj_value(node, RML + "iterator")
         sep = g.obj_value(node, CRML + "separator") or ","
         ref_formulation = g.obj(node, RML + "referenceFormulation")
         rf = _term_id(ref_formulation) if ref_formulation else None
 
         if endpoint is not None:
+            # SPARQLSource shape (pyrml_core.py:1748-1766): sd:endpoint +
+            # optional sd:resultFormat (default SPARQL_Results_JSON) on the
+            # rml:source node; rml:query + rml:iterator on the logical source
+            rfmt = g.obj(node, R.SD + "resultFormat")
+            if rfmt is None:
+                src_node = g.obj(node, RML + "source")
+                if src_node is not None and src_node[0] != "literal":
+                    rfmt = g.obj(src_node, R.SD + "resultFormat")
             return LogicalSource(
                 kind="sparql", source=_term_id(endpoint), query=sql_query,
-                node_id=node_id,
+                iterator=iterator, node_id=node_id,
+                result_format=_term_id(rfmt) if rfmt is not None else None,
             )
         if dsn is not None or (table and not g.obj(node, RML + "source")):
             return LogicalSource(

@@ -522,8 +522,16 @@ class SourceLoader:
                 reader = reader.option("dbtable", ls.iterator)
             return reader.load()
         if ls.kind == "sparql":
-            raise NotImplementedError(
-                "SPARQL endpoint sources (pyrml_core.py:906-938) need network "
-                "access; out of scope in this sandbox"
+            # sd:endpoint + rml:query (+ sd:resultFormat, rml:iterator) —
+            # pyrml_core.py:906-938. Single stdlib-urllib fetch by default;
+            # PYRML_SPARQL_PAGE_SIZE enables the executor-parallel
+            # LIMIT/OFFSET fan-out (see sparql_source module docstring).
+            from .sparql_source import load_sparql_source
+
+            page = os.environ.get("PYRML_SPARQL_PAGE_SIZE")
+            return load_sparql_source(
+                spark, ls.source, ls.query,
+                result_format=ls.result_format, iterator=ls.iterator,
+                page_size=int(page) if page else None,
             )
         raise SourceError(f"unknown logical source kind {ls.kind!r}")

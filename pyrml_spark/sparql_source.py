@@ -1,0 +1,303 @@
+"""SPARQL-endpoint logical source (SURVEY.md §2.1 S5).
+
+Reference behavior (``pyrml_core.py:906-938``): SPARQLWrapper posts
+``rml:query`` to ``sd:endpoint``, decodes per ``sd:resultFormat``
+(JSON default, CSV/TSV/XML), applies the ``rml:iterator`` JSONPath/XPath to
+the decoded payload, and ``pd.json_normalize``-flattens into dotted columns
+(so term maps reference ``name.value``). Source shape:
+``rml:source [ sd:endpoint <url> ; sd:resultFormat formats:… ]`` +
+``rml:query`` on the logical source (``pyrml_core.py:1748-1766``).
+
+Spark-first design, two paths:
+
+* **Single fetch (default)** — one stdlib-``urllib`` POST on the driver,
+  decoded and flattened, then ``spark.createDataFrame``. A mapping-source
+  SPARQL query is a *dimension* feed (like the JDBC source): the endpoint
+  is the bottleneck, not Spark, and OFFSET pagination without a total
+  ORDER BY is not stable across requests, so one request is the correct
+  default. The resulting (small) DataFrame then broadcasts into the
+  mapping joins like any other dimension.
+* **Paged fan-out (``page_size=N``)** — for large result sets: the driver
+  runs ``SELECT (COUNT(*) AS ?n) WHERE { {query} }`` once, plans
+  ``ceil(n / N)`` LIMIT/OFFSET windows over the subquery-wrapped form (a
+  SPARQL 1.1 subquery), and EXECUTORS fetch pages in parallel inside
+  ``mapInPandas`` — bandwidth scales with the cluster, rows never pass
+  through the driver. Guarded: a query that already carries
+  LIMIT/OFFSET/ORDER cannot be wrapped (semantics would change) and falls
+  back to the single fetch with a warning. Page order within a page set is
+  endpoint-stable only if the endpoint evaluates the subquery
+  deterministically — the same caveat every SPARQL pagination client
+  (e.g. Jena's QueryEngineHTTP users) carries; RML semantics are
+  row-set-based so triple OUTPUT is unaffected by row order.
+
+No third-party client: requests are plain ``application/sparql-query``
+POSTs with an Accept header per result format, stdlib-only so executors
+need no extra packages.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+import math
+import re
+import urllib.request
+import warnings
+from typing import Dict, Iterable, Iterator, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+FORMATS = "http://www.w3.org/ns/formats/"
+_ACCEPT = {
+    "json": "application/sparql-results+json",
+    "csv": "text/csv",
+    "tsv": "text/tab-separated-values",
+    "xml": "application/sparql-results+xml",
+}
+
+
+def _format_key(result_format: Optional[str]) -> str:
+    """sd:resultFormat IRI → json|csv|tsv|xml (JSON default, like the
+    reference's SPARQLWrapper setup)."""
+    if not result_format:
+        return "json"
+    tail = result_format.rsplit("/", 1)[-1].lower()
+    for key in ("json", "csv", "tsv", "xml"):
+        if key in tail:
+            return key
+    raise ValueError(f"unsupported sd:resultFormat {result_format!r}")
+
+
+def fetch_sparql(endpoint: str, query: str, fmt: str,
+                 timeout: float = 120.0) -> str:
+    """One SPARQL protocol POST (application/sparql-query body)."""
+    req = urllib.request.Request(
+        endpoint,
+        data=query.encode("utf-8"),
+        headers={"Content-Type": "application/sparql-query",
+                 "Accept": _ACCEPT[fmt]},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        charset = resp.headers.get_content_charset() or "utf-8"
+        return resp.read().decode(charset)
+
+
+# ---------------------------------------------------------------------------
+# payload decoding → (columns, rows-of-str)
+# ---------------------------------------------------------------------------
+
+
+def _eval_jsonpath_py(obj, steps: List[tuple]) -> List:
+    """Driver-side evaluator of the repo's JSONPath subset over decoded
+    Python objects — same steps :func:`sources._parse_jsonpath_steps`
+    produces, so the SPARQL source accepts exactly the iterator grammar the
+    JSON source does (the reference feeds both through ``jsonpath_ng``)."""
+    nodes = [obj]
+    for kind, arg in steps:
+        nxt: List = []
+        if kind == "field":
+            for n in nodes:
+                if isinstance(n, dict) and arg in n:
+                    nxt.append(n[arg])
+        elif kind == "explode":
+            for n in nodes:
+                if isinstance(n, list):
+                    nxt.extend(n)
+        elif kind == "index":
+            for n in nodes:
+                if isinstance(n, list) and -len(n) <= arg < len(n):
+                    nxt.append(n[arg])
+        elif kind == "slice":
+            a, b = arg
+            for n in nodes:
+                if isinstance(n, list):
+                    nxt.extend(n[a:b])
+        elif kind == "filter":
+            fields, op, lit = arg
+            for n in nodes:
+                if not isinstance(n, list):
+                    continue
+                for el in n:
+                    v = el
+                    for fld in fields:
+                        v = v.get(fld) if isinstance(v, dict) else None
+                    if _py_pred(v, op, lit):
+                        nxt.append(el)
+        elif kind == "descend":
+            def walk(x):
+                if isinstance(x, dict):
+                    for k, v in x.items():
+                        if k == arg:
+                            nxt.append(v)
+                        walk(v)
+                elif isinstance(x, list):
+                    for v in x:
+                        walk(v)
+            for n in nodes:
+                walk(n)
+        nodes = nxt
+    return nodes
+
+
+def _py_pred(v, op, lit) -> bool:
+    if op is None:
+        return v is not None
+    if lit is None:
+        return (v is None) if op == "==" else (v is not None)
+    if v is None:
+        return False
+    try:
+        if op == "==":
+            return v == lit
+        if op == "!=":
+            return v != lit
+        if op == "<":
+            return v < lit
+        if op == "<=":
+            return v <= lit
+        if op == ">":
+            return v > lit
+        if op == ">=":
+            return v >= lit
+    except TypeError:
+        return False
+    return False
+
+
+def _flatten(d, prefix: str = "") -> Dict[str, str]:
+    """pd.json_normalize-style dotted flattening, values stringified (the
+    reference reads every tabular source dtype=str)."""
+    out: Dict[str, str] = {}
+    if isinstance(d, dict):
+        for k, v in d.items():
+            key = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                out.update(_flatten(v, key))
+            elif v is None:
+                out[key] = None
+            else:
+                out[key] = v if isinstance(v, str) else json.dumps(v)
+    else:
+        out[prefix or "value"] = d if isinstance(d, str) else json.dumps(d)
+    return out
+
+
+def decode_results(text: str, fmt: str,
+                   iterator: Optional[str]) -> Tuple[List[str], List[list]]:
+    """Response text → (columns, rows) of strings.
+
+    JSON: iterator (default ``$.results.bindings[*]``) over the decoded
+    document, then dotted flattening — term maps see ``var.value`` /
+    ``var.type`` columns exactly as the reference's json_normalize emits.
+    CSV/TSV: header + rows. XML: SPARQL results XML bindings."""
+    if fmt == "json":
+        from .sources import _parse_jsonpath_steps
+
+        doc = json.loads(text)
+        steps = _parse_jsonpath_steps(iterator or "$.results.bindings[*]")
+        matches = _eval_jsonpath_py(doc, steps)
+        flat = [_flatten(m) for m in matches]
+        cols: List[str] = []
+        for f in flat:
+            for k in f:
+                if k not in cols:
+                    cols.append(k)
+        return cols, [[f.get(c) for c in cols] for f in flat]
+    if fmt in ("csv", "tsv"):
+        rows = list(csv.reader(io.StringIO(text),
+                               delimiter="," if fmt == "csv" else "\t"))
+        if not rows:
+            return [], []
+        return rows[0], [r + [None] * (len(rows[0]) - len(r))
+                         for r in rows[1:]]
+    if fmt == "xml":
+        import xml.etree.ElementTree as ET
+
+        ns = {"s": "http://www.w3.org/2005/sparql-results#"}
+        root = ET.fromstring(text)
+        cols = [v.get("name") for v in root.findall("s:head/s:variable", ns)]
+        rows = []
+        for res in root.findall("s:results/s:result", ns):
+            row = {b.get("name"): (b[0].text or "") if len(b) else None
+                   for b in res.findall("s:binding", ns)}
+            rows.append([row.get(c) for c in cols])
+        return cols, rows
+    raise ValueError(f"unsupported result format {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# loading
+# ---------------------------------------------------------------------------
+
+_UNWRAPPABLE_RE = re.compile(r"\b(LIMIT|OFFSET|ORDER\s+BY)\b", re.IGNORECASE)
+
+
+def load_sparql_source(
+    spark: SparkSession,
+    endpoint: str,
+    query: str,
+    result_format: Optional[str] = None,
+    iterator: Optional[str] = None,
+    page_size: Optional[int] = None,
+) -> DataFrame:
+    """SPARQL endpoint → all-string DataFrame (see module docstring)."""
+    if not query:
+        raise ValueError("SPARQL source requires rml:query "
+                         "(pyrml_core.py:906 — 'and self.__query')")
+    fmt = _format_key(result_format)
+
+    if page_size is not None and _UNWRAPPABLE_RE.search(query):
+        warnings.warn(
+            "SPARQL pagination disabled: the query already carries "
+            "LIMIT/OFFSET/ORDER BY and cannot be subquery-wrapped without "
+            "changing its semantics; falling back to a single fetch",
+            stacklevel=2)
+        page_size = None
+
+    if page_size is None:
+        cols, rows = decode_results(fetch_sparql(endpoint, query, fmt),
+                                    fmt, iterator)
+        schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
+        return spark.createDataFrame(rows, schema)
+
+    # paged fan-out: count once, then executors fetch windows in parallel
+    count_q = f"SELECT (COUNT(*) AS ?n) WHERE {{ {{ {query} }} }}"
+    ccols, crows = decode_results(fetch_sparql(endpoint, count_q, "json"),
+                                  "json", "$.results.bindings[*]")
+    n_idx = next(i for i, c in enumerate(ccols) if c == "n.value")
+    total = int(crows[0][n_idx]) if crows else 0
+    n_pages = max(1, math.ceil(total / page_size))
+
+    # schema probe: first page on the driver (also the only page when one
+    # window covers everything)
+    first_q = f"SELECT * WHERE {{ {{ {query} }} }} LIMIT {page_size} OFFSET 0"
+    cols, first_rows = decode_results(fetch_sparql(endpoint, first_q, fmt),
+                                      fmt, iterator)
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
+    if n_pages == 1:
+        return spark.createDataFrame(first_rows, schema)
+
+    pages = spark.range(1, n_pages).repartition(min(n_pages - 1, 64))
+    ep, it, ps, q = endpoint, iterator, page_size, query  # closure capture
+
+    def fetch_pages(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for page in pdf["id"]:
+                pq = (f"SELECT * WHERE {{ {{ {q} }} }} "
+                      f"LIMIT {ps} OFFSET {int(page) * ps}")
+                pcols, prows = decode_results(fetch_sparql(ep, pq, fmt),
+                                              fmt, it)
+                data = {c: [] for c in cols}
+                for r in prows:
+                    got = dict(zip(pcols, r))
+                    for c in cols:
+                        data[c].append(got.get(c))
+                yield pd.DataFrame(data, columns=cols, dtype=object)
+
+    rest = pages.mapInPandas(fetch_pages, schema=schema)
+    return spark.createDataFrame(first_rows, schema).unionByName(rest)

@@ -231,6 +231,22 @@ def test_normalize_date_with_lang_locales(spark, reg):
         ("cum 12 eyl. 2014", "%a %d %b %Y", "tr", "2014-09-12"),
         ("pon 7 maj 2018", "%a %d %b %Y", "pl", "2018-05-07"),
         ("måndag 5 augusti 2020", "%A %d %B %Y", "sv_SE", "2020-08-05"),
+        # r5 locales: el (genitive) + CJK (ja/zh/ko: no word boundaries —
+        # Java (?U)\b sees ideographs as word chars)
+        ("3 Ιανουαρίου 2020", "%d %B %Y", "el_GR", "2020-01-03"),
+        ("δευ 5 οκτ 2020", "%a %d %b %Y", "el", "2020-10-05"),
+        ("2020年1月3日", "%Y年%m月%d日", "ja_JP", "2020-01-03"),
+        ("2020年1月3日", "%Y年%B%d日", "ja", "2020-01-03"),
+        # day-abbr ⊂ month marker (ja '月' in '1月', ko '월' in '1월'):
+        # the single-alternation LAST-occurrence strip must not eat the
+        # month token — both the colliding and non-colliding weekdays
+        ("2020年1月3日 月", "%Y年%m月%d日 %a", "ja", "2020-01-03"),
+        ("2020年1月3日 火", "%Y年%m月%d日 %a", "ja", "2020-01-03"),
+        ("2020 三月 15", "%Y %B %d", "zh_CN", "2020-03-15"),
+        ("2020年3月15日 星期日", "%Y年%m月%d日 %A", "zh", "2020-03-15"),
+        ("2020년 1월 3일", "%Y년 %m월 %d일", "ko_KR", "2020-01-03"),
+        ("1월 3, 2020", "%B %d, %Y", "ko", "2020-01-03"),
+        ("2020년 1월 3일 월", "%Y년 %m월 %d일 %a", "ko", "2020-01-03"),
     ]
     for value, fmt, lang, expect in cases:
         got = run1(spark, build(
@@ -254,4 +270,4 @@ def test_normalize_date_with_lang_locales(spark, reg):
         build(reg, IDLAB_ + "normalizeDateWithLang",
               (IDLAB_ + "strDate", F.lit("x")),
               (IDLAB_ + "pattern", const_lit("%d %B %Y")),
-              (IDLAB_ + "lang", const_lit("ja_JP")))
+              (IDLAB_ + "lang", const_lit("th_TH")))
