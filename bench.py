@@ -34,6 +34,7 @@ HEADLINE = [
     "rml_json_descent",
     "rml_json_filter",
     "rml_sql_source",
+    "rml_sparql_source",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -857,6 +857,93 @@ FROM region
 """
 
 
+# loopback SPARQL endpoints serving the region table, one per sf_dir;
+# daemon-threaded so they die with the driver process
+_SPARQL_ENDPOINTS: Dict[str, str] = {}
+
+
+def _region_sparql_endpoint(spark: SparkSession, sf_dir: str) -> str:
+    """Start (once per sf_dir) a loopback HTTP server that answers any
+    SPARQL protocol POST with the region table as SPARQL 1.1 JSON results
+    — the S5 shape the reference consumes via SPARQLWrapper
+    (pyrml_core.py:906-938), here backed by the same deterministic
+    testdata the oracle reads, so the driver's DuckDB comparison closes
+    end-to-end over a real HTTP round-trip."""
+    url = _SPARQL_ENDPOINTS.get(sf_dir)
+    if url:
+        return url
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .orderBy("r_regionkey").collect()
+    )
+    payload = json.dumps({
+        "head": {"vars": ["key", "name"]},
+        "results": {"bindings": [
+            {"key": {"type": "literal", "value": str(r["r_regionkey"])},
+             "name": {"type": "literal", "value": r["r_name"]}}
+            for r in rows
+        ]},
+    }).encode("utf-8")
+
+    class _H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "application/sparql-results+json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+    _SPARQL_ENDPOINTS[sf_dir] = url
+    return url
+
+
+_SPARQL_SOURCE_MAP = """
+@prefix sd: <http://www.w3.org/ns/sparql-service-description#> .
+<#Sparql> rml:logicalSource [
+    rml:source [ sd:endpoint <{{ endpoint }}> ] ;
+    rml:referenceFormulation ql:JSONPath ;
+    rml:iterator "$.results.bindings[*]" ;
+    rml:query "SELECT ?key ?name WHERE { ?r ex:key ?key ; ex:name ?name }"
+  ] ;
+  rr:subjectMap [ rr:template "http://ex.com/region/{key.value}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ;
+    rr:objectMap [ rml:reference "name.value" ] ] .
+"""
+
+
+def q_sparql_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 in the driver: sd:endpoint + rml:query over a loopback SPARQL
+    endpoint (reference SPARQLSource, pyrml_core.py:1748-1766); the JSON
+    bindings flatten to dotted `var.value` columns the term maps then
+    reference, exactly like the reference's json_normalize."""
+    endpoint = _region_sparql_endpoint(spark, sf_dir)
+    plan = parse_mapping(_PRELUDE + _SPARQL_SOURCE_MAP,
+                         template_vars={"endpoint": endpoint})
+    return RMLCompiler(spark, plan).compile()
+
+
+ORACLE_SPARQL_SOURCE = """
+SELECT DISTINCT
+  '<http://ex.com/region/' || r_regionkey || '>' AS s,
+  '<http://ex.com/name>' AS p,
+  '"' || r_name || '"' AS o,
+  CAST(NULL AS VARCHAR) AS g
+FROM region
+"""
+
+
 def _nation_xml(spark: SparkSession, sf_dir: str) -> str:
     from xml.sax.saxutils import escape, quoteattr
 
@@ -942,6 +1029,7 @@ RML_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rml_json_filter": q_json_filter,
     "rml_json_typed_literals": q_json_typed_literals,
     "rml_sql_source": q_sql_source,
+    "rml_sparql_source": q_sparql_source,
     "rml_xml_source": q_xml_source,
 }
 
@@ -966,5 +1054,6 @@ RML_ORACLES: Dict[str, str] = {
     "rml_json_filter": ORACLE_JSON_FILTER,
     "rml_json_typed_literals": ORACLE_JSON_TYPED,
     "rml_sql_source": ORACLE_SQL_SOURCE,
+    "rml_sparql_source": ORACLE_SPARQL_SOURCE,
     "rml_xml_source": ORACLE_XML_SOURCE,
 }
