@@ -15,6 +15,7 @@ reference pyRML engine (anuzzolese/pyrml, studied read-only at
 """
 
 from .compiler import RMLCompiler, convert  # noqa: F401
+from .streaming.rml_stream import convert_stream  # noqa: F401
 from .functions.registry import FunctionRegistry, default_registry  # noqa: F401
 from .parse_mapping import parse_mapping, parse_mapping_file  # noqa: F401
 

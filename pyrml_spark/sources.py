@@ -302,6 +302,14 @@ def load_json_source(
     iterator's ``.field`` steps become struct access and ``[*]`` becomes
     ``explode`` — all JVM-side (SURVEY.md S3)."""
     df = spark.read.option("multiLine", True).json(path)
+    return apply_json_iterator(df, iterator)
+
+
+def apply_json_iterator(df: DataFrame, iterator: Optional[str]) -> DataFrame:
+    """Compile the JSONPath-subset iterator over an already-built JSON
+    DataFrame (one row per top-level value). Pure Column/`explode`
+    transforms, so it works identically on batch and streaming inputs
+    (streaming RML, `streaming/rml_stream.py`)."""
     node = None  # None means "the whole row struct"
     for kind, arg in _parse_jsonpath_steps(iterator or "$"):
         if kind == "field":
