@@ -116,10 +116,45 @@ def _parse_predicate(inner: str, iterator: str) -> tuple:
     return ("filter", (fields, op, lit))
 
 
+def _split_union(inner: str) -> Optional[List[str]]:
+    """Split a bracket body on top-level commas (quote-aware); None when
+    there is no comma outside quotes."""
+    parts, buf, quote = [], [], None
+    for ch in inner:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == ",":
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if not parts:
+        return None
+    parts.append("".join(buf).strip())
+    return parts
+
+
 def _parse_bracket(inner: str, iterator: str) -> tuple:
     """One ``[...]`` step body → parsed step tuple."""
     if inner in ("*", "'*'", '"*"'):
         return ("explode", None)
+    union = _split_union(inner)
+    if union is not None:
+        # union step [a,b]: all-quoted fields or all-int indexes
+        if all(len(p) >= 2 and p[0] == p[-1] and p[0] in "'\""
+               for p in union):
+            return ("union_fields", tuple(p[1:-1] for p in union))
+        if all(p.lstrip("-").isdigit() for p in union):
+            return ("union_indexes", tuple(int(p) for p in union))
+        raise SourceError(
+            f"unsupported JSONPath union [{inner}] in {iterator!r} (only "
+            "all-quoted-field ['a','b'] or all-index [0,2] unions are "
+            "supported; no mixing, no nested expressions)")
     if inner.lstrip("-").isdigit():
         return ("index", int(inner))
     if len(inner) >= 2 and inner[0] == inner[-1] and inner[0] in "'\"":
@@ -137,8 +172,8 @@ def _parse_bracket(inner: str, iterator: str) -> tuple:
             f"unsupported JSONPath slice [{inner}] (step != 1 not "
             "supported)")
     raise SourceError(
-        f"unsupported JSONPath step [{inner}] in {iterator!r} (unions and "
-        "nested expressions are outside the supported subset)")
+        f"unsupported JSONPath step [{inner}] in {iterator!r} (nested "
+        "expressions are outside the supported subset)")
 
 
 def _parse_jsonpath_steps(iterator: str) -> List[tuple]:
@@ -147,14 +182,19 @@ def _parse_jsonpath_steps(iterator: str) -> List[tuple]:
     (bracket-quoted fields), ``$.a[1:3]`` (slices, step 1), and
     ``$.a[?(@.f <op> lit)]`` / ``$.a[?(@.f)]`` (filter predicates).
 
+    plus field unions ``['a','b']`` and index unions ``[0,2]`` (Python
+    negative-index semantics).
+
     Returns list of ("field", name) | ("explode", None) | ("index", i)
-    | ("descend", name) | ("slice", (a, b)) | ("filter", (fields, op, lit)).
+    | ("descend", name) | ("slice", (a, b)) | ("filter", (fields, op, lit))
+    | ("union_fields", names) | ("union_indexes", ints).
 
     Everything outside the subset — boolean connectives in predicates,
-    unions ``[a,b]``, stepped slices, wildcard descent ``$..*`` — raises
-    :class:`SourceError` LOUDLY (the reference accepts full ``jsonpath_ng``
-    grammar, pyrml_core.py:886-894; a silent mis-parse would drop or
-    misroute rows, so unsupported grammar must never be guessed at).
+    mixed field/index unions, stepped slices, wildcard descent ``$..*`` —
+    raises :class:`SourceError` LOUDLY (the reference accepts full
+    ``jsonpath_ng`` grammar, pyrml_core.py:886-894; a silent mis-parse
+    would drop or misroute rows, so unsupported grammar must never be
+    guessed at).
     """
     it = iterator.strip()
     if not it.startswith("$"):
@@ -238,6 +278,25 @@ def _slice_col(col: Column, a: Optional[int], b: Optional[int]) -> Column:
         end = F.greatest(n + F.lit(b), F.lit(0))
     length = F.greatest(end - start, F.lit(0))
     return F.slice(col, start + F.lit(1), length)
+
+
+def _get_idx(col: Column, i: int) -> Column:
+    """Python-semantics array index: negatives count from the end, out of
+    range → NULL (``F.get`` stays NULL-safe even under ANSI mode, unlike
+    ``getItem``/``element_at``; plain ``getItem(-1)`` silently NULLs every
+    negative index)."""
+    if i >= 0:
+        return F.get(col, i)
+    return F.get(col, F.size(col) + F.lit(i))
+
+
+def _explode_union(cols: List[Column], iterator: str) -> Column:
+    """Union-step fan-out: the selected values in listed order, absent ones
+    (schema-null) omitted like jsonpath_ng omits missing keys/indexes.
+    (A container position that is EXPLICITLY null in the data is omitted
+    too — Spark cannot distinguish it from an absent key; containers are
+    what iterators address, so this does not drop real values.)"""
+    return F.explode(F.filter(F.array(*cols), lambda x: x.isNotNull()))
 
 
 def _descend_programs(dtype, name: str) -> List[List[tuple]]:
@@ -325,7 +384,39 @@ def apply_json_iterator(df: DataFrame, iterator: Optional[str]) -> DataFrame:
         elif kind == "index":
             if node is None:
                 raise SourceError("top-level [n] unsupported")
-            df = df.select(F.col("__node__").getItem(arg).alias("__node__"))
+            df = df.select(
+                _get_idx(F.col("__node__"), arg).alias("__node__"))
+            node = F.col("__node__")
+        elif kind == "union_fields":
+            if node is None:
+                cols = [F.col("`" + f.replace("`", "``") + "`")
+                        for f in arg if f in df.columns]
+            else:
+                dt = df.schema["__node__"].dataType
+                names = (dt.fieldNames()
+                         if isinstance(dt, T.StructType) else [])
+                cols = [F.col("__node__").getField(f)
+                        for f in arg if f in names]
+            if not cols:
+                raise SourceError(
+                    f"JSONPath union fields {list(arg)} match nothing in "
+                    "the source schema")
+            sch = (df.schema["__node__"].dataType
+                   if node is not None else df.schema)
+            types = {str(sch[f].dataType) for f in arg
+                     if f in sch.fieldNames()}
+            if len(types) > 1:
+                raise SourceError(
+                    f"JSONPath union fields {list(arg)} have incompatible "
+                    f"types {sorted(types)} — one output column cannot "
+                    "carry both")
+            df = df.select(_explode_union(cols, iterator).alias("__node__"))
+            node = F.col("__node__")
+        elif kind == "union_indexes":
+            if node is None:
+                raise SourceError("top-level [i,j] unsupported")
+            cols = [_get_idx(F.col("__node__"), i) for i in arg]
+            df = df.select(_explode_union(cols, iterator).alias("__node__"))
             node = F.col("__node__")
         elif kind == "filter":
             fields, op, lit = arg

@@ -115,6 +115,15 @@ def _eval_jsonpath_py(obj, steps: List[tuple]) -> List:
             for n in nodes:
                 if isinstance(n, list):
                     nxt.extend(n[a:b])
+        elif kind == "union_fields":
+            for n in nodes:
+                if isinstance(n, dict):
+                    nxt.extend(n[f] for f in arg if f in n)
+        elif kind == "union_indexes":
+            for n in nodes:
+                if isinstance(n, list):
+                    nxt.extend(n[i] for i in arg
+                               if -len(n) <= i < len(n))
         elif kind == "filter":
             fields, op, lit = arg
             for n in nodes:

@@ -303,6 +303,56 @@ def test_jsonpath_bracket_quoted_fields(spark, tmp_path):
     assert sorted(r["code"] for r in df.collect()) == ["FR", "IT"]
 
 
+def test_jsonpath_unions(spark, tmp_path):
+    """Field unions $['a','b'] and index unions [0,2] (r5): values in
+    listed order, missing keys / out-of-range indexes omitted like
+    jsonpath_ng; mixed or unquoted unions stay loud."""
+    from pyrml_spark.sources import SourceError, load_json_source
+
+    p = str(tmp_path / "d.json")
+    with open(p, "w") as f:
+        f.write('{"a": {"x": 1, "y": 2, "z": 3}, "arr": [10, 20, 30, 40]}')
+
+    def vals(itr):
+        return [r["value"] for r in load_json_source(spark, p, itr).collect()]
+
+    assert vals("$.a['x','z']") == [1, 3]
+    assert vals("$.a['z','x']") == [3, 1]          # listed order
+    assert vals("$.a['x','nope','y']") == [1, 2]   # missing key omitted
+    assert vals("$.arr[0,2]") == [10, 30]
+    assert vals("$.arr[3,0]") == [40, 10]
+    assert vals("$.arr[1,99]") == [20]             # out of range omitted
+    assert vals("$.arr[0,-1]") == [10, 40]         # negative from the end
+    with pytest.raises(SourceError, match="match nothing"):
+        load_json_source(spark, p, "$.a['nope','gone']")
+    with pytest.raises(SourceError, match="union"):
+        load_json_source(spark, p, "$.arr[0,'x']")  # mixed: loud
+
+
+def test_jsonpath_union_incompatible_types_is_loud(spark, tmp_path):
+    from pyrml_spark.sources import SourceError, load_json_source
+
+    p = str(tmp_path / "d.json")
+    with open(p, "w") as f:
+        f.write('{"a": {"x": 1, "y": "s"}}')
+    with pytest.raises(SourceError, match="incompatible types"):
+        load_json_source(spark, p, "$.a['x','y']")
+
+
+def test_jsonpath_negative_index(spark, tmp_path):
+    """[-1] addresses from the end (Python semantics — plain getItem(-1)
+    would silently NULL it)."""
+    from pyrml_spark.sources import load_json_source
+
+    p = str(tmp_path / "d.json")
+    with open(p, "w") as f:
+        f.write('{"a": [10, 20, 30]}')
+    assert [r["value"] for r in
+            load_json_source(spark, p, "$.a[-1]").collect()] == [30]
+    assert [r["value"] for r in
+            load_json_source(spark, p, "$.a[0]").collect()] == [10]
+
+
 def test_jsonpath_descent_missing_field_is_loud(spark, tmp_path):
     from pyrml_spark.sources import SourceError, load_json_source
 
