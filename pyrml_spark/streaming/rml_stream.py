@@ -209,3 +209,93 @@ def convert_stream(
             .select(*OUTPUT_SCHEMA)
         )
     return out
+
+
+def write_triples_stream(
+    sdf: DataFrame,
+    target: str,
+    checkpoint: str,
+    n_buckets: Optional[int] = None,
+    fmt: Optional[str] = None,
+    exact_dedup: bool = True,
+):
+    """Sink a streaming (s,p,o,g) DataFrame into the subject-bucketed
+    triples table with EXACT cross-batch set semantics.
+
+    ``convert_stream``'s watermarked dedup bounds state by dropping
+    duplicates only within the watermark horizon; a triple re-arriving
+    later would append again. This sink closes that gap per micro-batch
+    (``foreachBatch``):
+
+    * **Iceberg** target: ``MERGE INTO … WHEN NOT MATCHED THEN INSERT`` —
+      the engine dedups against the whole table with bucket-partition
+      pruning; exact and atomic.
+    * **Parquet** path: anti-join the batch against ONLY the
+      ``subject_bucket`` partitions its rows hash into (the batch's
+      distinct bucket set is ≤ n_buckets values, driver-safe) — per-batch
+      cost is O(batch + touched buckets), not O(table) — then append.
+      Exactness relies on single-writer sequencing, which Structured
+      Streaming's serial foreachBatch guarantees per query.
+
+    ``exact_dedup=False`` degrades to plain partitioned appends (the
+    within-watermark dedup upstream still applies). Returns the started
+    StreamingQuery (availableNow trigger — re-invoke to drain new files).
+    """
+    from functools import reduce as _reduce
+
+    from ..kg.table import (
+        DEFAULT_BUCKETS,
+        TRIPLE_COLS,
+        iceberg_catalogs,
+        subject_bucket,
+        write_triples_table,
+    )
+
+    buckets = DEFAULT_BUCKETS if n_buckets is None else n_buckets
+
+    def _sink(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        b = batch.select(*TRIPLE_COLS).dropDuplicates(TRIPLE_COLS)
+        use_fmt = fmt
+        if use_fmt is None:
+            cats = iceberg_catalogs(spark)
+            use_fmt = ("iceberg" if cats and target.split(".")[0] in cats
+                       else "parquet")
+        if use_fmt == "iceberg":
+            if not spark.catalog.tableExists(target):
+                write_triples_table(b, target, buckets, mode="overwrite",
+                                    fmt="iceberg")
+                return
+            if exact_dedup:
+                view = "__rml_stream_batch"
+                b.createOrReplaceTempView(view)
+                on = " AND ".join(f"t.{c} <=> v.{c}" for c in TRIPLE_COLS)
+                spark.sql(f"MERGE INTO {target} t USING {view} v ON {on} "
+                          "WHEN NOT MATCHED THEN INSERT *")
+            else:
+                write_triples_table(b, target, buckets, mode="append",
+                                    fmt="iceberg")
+            return
+        if exact_dedup and os.path.exists(target):
+            touched = [r["b"] for r in b.select(
+                subject_bucket(buckets).alias("b")).distinct().collect()]
+            existing = (
+                spark.read.parquet(target)
+                .filter(F.col("subject_bucket").isin(touched))
+                .select(*TRIPLE_COLS).alias("e")
+            )
+            bb = b.alias("b")
+            cond = _reduce(
+                lambda a, c: a & c,
+                [F.col(f"b.{c}").eqNullSafe(F.col(f"e.{c}"))
+                 for c in TRIPLE_COLS])
+            b = bb.join(existing, cond, "left_anti")
+        write_triples_table(b, target, buckets, mode="append",
+                            fmt="parquet")
+
+    return (
+        sdf.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

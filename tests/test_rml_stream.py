@@ -170,6 +170,41 @@ def test_stream_json_iterator(spark):
         }
 
 
+def test_write_triples_stream_exact_dedup(spark):
+    """The foreachBatch table sink keeps EXACT set semantics across
+    horizons: a fresh checkpoint re-offers every file (simulating
+    re-arrival beyond the watermark), and the bucket-pruned anti-join
+    drops the already-written triples while appending the new ones."""
+    from pyrml_spark.streaming.rml_stream import write_triples_stream
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "nations")
+        os.mkdir(src)
+        _write_csv(os.path.join(src, "a.csv"), [(1, "alpha"), (2, "beta")])
+        mfile = os.path.join(d, "m.ttl")
+        with open(mfile, "w") as f:
+            f.write(_NATION_MAP.replace("{{ dir }}", src))
+        table = os.path.join(d, "triples_tbl")
+
+        q = write_triples_stream(
+            convert_stream(spark, mfile, stream_source=src),
+            table, os.path.join(d, "ckpt1"))
+        q.awaitTermination(120)
+        assert spark.read.parquet(table).count() == 4  # 2 nations × 2
+
+        # fresh checkpoint → files re-offered; plus one genuinely new file
+        _write_csv(os.path.join(src, "b.csv"), [(3, "gamma"), (1, "alpha")])
+        q = write_triples_stream(
+            convert_stream(spark, mfile, stream_source=src),
+            table, os.path.join(d, "ckpt2"))
+        q.awaitTermination(120)
+        rows = spark.read.parquet(table).select("s", "p", "o", "g").collect()
+        assert len(rows) == 6                      # no duplicate appends
+        assert len({tuple(r) for r in rows}) == 6
+        # and the table keeps its bucketed layout
+        assert "subject_bucket" in spark.read.parquet(table).columns
+
+
 def test_stream_guards(spark):
     with tempfile.TemporaryDirectory() as d:
         src = os.path.join(d, "nations")
