@@ -161,6 +161,31 @@ def test_xml_source_parallel_across_files(spark, tmp_path):
     assert df.rdd.getNumPartitions() >= 1  # distributed scan, not a driver list
 
 
+def test_xml_xpath_predicates(spark, tmp_path):
+    """S4 iterator grammar beyond plain paths: ElementTree's findall
+    supports attribute predicates ([@a], [@a='v']), child-existence
+    ([child]) and position ([1]) natively, so the executor-side parser
+    honors them with zero extra code — pin that it stays true."""
+    from pyrml_spark.sources import load_xml_source
+
+    (tmp_path / "d.xml").write_text(
+        '<people>'
+        '<person id="1" vip="y"><name>A</name></person>'
+        '<person id="2"><name>B</name></person>'
+        '<person id="3" vip="y"><nick>C</nick></person>'
+        '</people>'
+    )
+
+    def ids(xpath):
+        return sorted(r["id"] for r in
+                      load_xml_source(spark, str(tmp_path), xpath).collect())
+
+    assert ids("/people/person[@vip]") == ["1", "3"]
+    assert ids("/people/person[@vip='y'][@id='3']") == ["3"]
+    assert ids("/people/person[name]") == ["1", "2"]
+    assert ids("/people/person[1]") == ["1"]
+
+
 def test_xml_schema_probe_unions_across_files(spark, tmp_path):
     """ADVICE r2: columns appearing only in LATER files must survive — the
     probe unions a sample of files, not just the first (the reference's
