@@ -170,6 +170,31 @@ def test_stream_json_iterator(spark):
         }
 
 
+def test_stream_static_join_broadcasts(spark):
+    """100 TB lens: the stream-static ROM join must broadcast the
+    dimension parent, not shuffle the stream."""
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "nations")
+        os.mkdir(src)
+        with open(os.path.join(src, "a.csv"), "w") as f:
+            f.write("key,rkey\n1,10\n")
+        regions = os.path.join(d, "regions.csv")
+        with open(regions, "w") as f:
+            f.write("rkey\n10\n")
+        mapping = (_JOIN_MAP.replace("{{ dir }}", src)
+                   .replace("{{ regions }}", regions))
+        with pytest.warns(UserWarning, match="excluding static"):
+            sdf = convert_stream(spark, mapping, stream_source=src,
+                                 on_static="exclude")
+        q = (sdf.writeStream.format("noop")
+             .option("checkpointLocation", os.path.join(d, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        plan = q._jsq.explainInternal(False)
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, \
+            plan
+
+
 def test_write_triples_stream_exact_dedup(spark):
     """The foreachBatch table sink keeps EXACT set semantics across
     horizons: a fresh checkpoint re-offers every file (simulating
