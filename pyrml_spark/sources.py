@@ -75,25 +75,46 @@ _FILTER_RE = re.compile(
 )
 
 
-def _parse_predicate(inner: str, iterator: str) -> tuple:
-    """``?(@.a.b <op> literal)`` | ``?(@.a)`` → ("filter", (fields, op, lit)).
+def _split_connective(body: str, sep: str) -> List[str]:
+    """Quote-aware split on a top-level two-char connective (``&&``/``||``)."""
+    parts: List[str] = []
+    buf: List[str] = []
+    quote = None
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif body.startswith(sep, i):
+            parts.append("".join(buf).strip())
+            buf = []
+            i += len(sep)
+            continue
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf).strip())
+    return parts
 
-    Literals: int/float, single/double-quoted string, true/false/null.
-    Anything richer (boolean connectives, nested ``[?()]``, regex match,
-    @-to-@ comparison) raises :class:`SourceError`."""
-    body = inner[1:].strip()  # drop '?'
-    if body.startswith("(") and body.endswith(")"):
-        body = body[1:-1].strip()
-    m = _FILTER_RE.match(body)
-    if not m or "&&" in body or "||" in body:
+
+def _parse_filter_term(term: str, inner: str, iterator: str) -> tuple:
+    """One comparison/existence term → (fields, op, lit)."""
+    m = _FILTER_RE.match(term)
+    if not m:
         raise SourceError(
             f"unsupported JSONPath filter [{inner}] in {iterator!r} (only "
-            "'[?(@.field <op> literal)]' and existence '[?(@.field)]' are "
-            "supported; no boolean connectives / regex / @-to-@ compares)")
+            "'@.field <op> literal' and existence '@.field' terms joined "
+            "by '&&'/'||' are supported; no parenthesized grouping / "
+            "nested [?()] / regex / @-to-@ compares)")
     fields = tuple(m.group(1).strip(".").split("."))
     op, raw = m.group(2), m.group(3)
     if op is None:
-        return ("filter", (fields, None, None))
+        return (fields, None, None)
     if op == "=":
         op = "=="
     lit: object
@@ -113,7 +134,38 @@ def _parse_predicate(inner: str, iterator: str) -> tuple:
                 raise SourceError(
                     f"unsupported JSONPath filter literal {raw!r} in "
                     f"{iterator!r}") from None
-    return ("filter", (fields, op, lit))
+    return (fields, op, lit)
+
+
+def _parse_predicate(inner: str, iterator: str) -> tuple:
+    """``?(@.a <op> lit && @.b ...)`` → ("filter", dnf).
+
+    ``dnf`` is an OR-of-ANDs tuple ``((term, ...), ...)`` with term =
+    ``(fields, op, lit)`` — '&&' binds tighter than '||' (jsonpath_ng ext
+    precedence). Literals: int/float, single/double-quoted string,
+    true/false/null. Parenthesized grouping, nested ``[?()]``, regex match
+    and @-to-@ comparison raise :class:`SourceError`."""
+    body = inner[1:].strip()  # drop '?'
+    if body.startswith("(") and body.endswith(")"):
+        body = body[1:-1].strip()
+    # loud on grouping parens (quote-aware: parens inside string literals ok)
+    quote = None
+    for ch in body:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "()":
+            raise SourceError(
+                f"unsupported JSONPath filter [{inner}] in {iterator!r}: "
+                "parenthesized grouping inside predicates is not supported "
+                "(terms combine as OR of ANDs; '&&' binds tighter)")
+    dnf = tuple(
+        tuple(_parse_filter_term(t, inner, iterator)
+              for t in _split_connective(disjunct, "&&"))
+        for disjunct in _split_connective(body, "||"))
+    return ("filter", dnf)
 
 
 def _split_union(inner: str) -> Optional[List[str]]:
@@ -180,16 +232,18 @@ def _parse_jsonpath_steps(iterator: str) -> List[tuple]:
     """Parse the JSONPath subset ``$.a.b[*]``, ``$[*]``, ``$.a[0]``,
     ``$..name`` (recursive descent to a named field), ``$['a b']``
     (bracket-quoted fields), ``$.a[1:3]`` (slices, step 1), and
-    ``$.a[?(@.f <op> lit)]`` / ``$.a[?(@.f)]`` (filter predicates).
+    ``$.a[?(@.f <op> lit)]`` / ``$.a[?(@.f)]`` filter predicates with
+    ``&&``/``||`` connectives ('&&' binds tighter, OR of ANDs),
 
     plus field unions ``['a','b']`` and index unions ``[0,2]`` (Python
     negative-index semantics).
 
     Returns list of ("field", name) | ("explode", None) | ("index", i)
-    | ("descend", name) | ("slice", (a, b)) | ("filter", (fields, op, lit))
+    | ("descend", name) | ("slice", (a, b)) | ("filter", dnf) with
+    dnf = ((term, ...), ...) and term = (fields, op, lit)
     | ("union_fields", names) | ("union_indexes", ints).
 
-    Everything outside the subset — boolean connectives in predicates,
+    Everything outside the subset — parenthesized predicate grouping,
     mixed field/index unions, stepped slices, wildcard descent ``$..*`` —
     raises :class:`SourceError` LOUDLY (the reference accepts full
     ``jsonpath_ng`` grammar, pyrml_core.py:886-894; a silent mis-parse
@@ -258,6 +312,42 @@ def _filter_predicate(fields, op, lit):
                 "<": c < lcol, "<=": c <= lcol,
                 ">": c > lcol, ">=": c >= lcol}[op]
     return pred
+
+
+def _dnf_elem_pred(dnf, elem_type: T.DataType):
+    """Closure factory for ``F.filter`` lambdas (pyspark inspects the
+    lambda's positional arity — no extra defaulted params allowed)."""
+    def pred(x: Column) -> Column:
+        return _dnf_condition(
+            dnf, elem_type, lambda f, o, l: _filter_predicate(f, o, l)(x))
+    return pred
+
+
+def _navigable(dtype: T.DataType, fields) -> bool:
+    """Whether ``@.f1.f2...`` resolves through ``dtype``. jsonpath_ng yields
+    NO match when a step dereferences a non-object (so the term is false,
+    never an error) — and Spark's empty-array schema inference types ``[]``
+    as ``array<string>``, which would otherwise blow up ``getField``."""
+    for fld in fields:
+        if not isinstance(dtype, T.StructType) or fld not in dtype.fieldNames():
+            return False
+        dtype = dtype[fld].dataType
+    return True
+
+
+def _dnf_condition(dnf, dtype: T.DataType, leaf) -> Column:
+    """OR-of-ANDs predicate over element/row ``leaf(fields, op, lit)``
+    builders; terms whose field path does not resolve in ``dtype`` are
+    statically false (jsonpath no-match semantics)."""
+    cond = None
+    for conj in dnf:
+        cc = None
+        for fields, op, lit in conj:
+            t = (leaf(fields, op, lit) if _navigable(dtype, fields)
+                 else F.lit(False))
+            cc = t if cc is None else (cc & t)
+        cond = cc if cond is None else (cond | cc)
+    return cond
 
 
 def _slice_col(col: Column, a: Optional[int], b: Optional[int]) -> Column:
@@ -419,17 +509,24 @@ def apply_json_iterator(df: DataFrame, iterator: Optional[str]) -> DataFrame:
             df = df.select(_explode_union(cols, iterator).alias("__node__"))
             node = F.col("__node__")
         elif kind == "filter":
-            fields, op, lit = arg
-            pred = _filter_predicate(fields, op, lit)
             if node is None:
                 # top-level array: rows ARE the elements — filter rows
-                c = F.col("`" + fields[0] + "`")
-                for fld in fields[1:]:
-                    c = c.getField(fld)
-                df = df.filter(_filter_predicate((), op, lit)(c))
+                def _row_leaf(fields, op, lit):
+                    c = F.col("`" + fields[0].replace("`", "``") + "`")
+                    for fld in fields[1:]:
+                        c = c.getField(fld)
+                    return _filter_predicate((), op, lit)(c)
+                df = df.filter(_dnf_condition(arg, df.schema, _row_leaf))
                 continue
+            elem_t = df.schema["__node__"].dataType
+            if not isinstance(elem_t, T.ArrayType):
+                raise SourceError(
+                    f"JSONPath filter applied to non-array node in "
+                    f"{iterator!r}")
             df = df.select(
-                F.explode(F.filter("__node__", pred)).alias("__node__"))
+                F.explode(F.filter(
+                    "__node__", _dnf_elem_pred(arg, elem_t.elementType)))
+                .alias("__node__"))
             node = F.col("__node__")
         elif kind == "slice":
             if node is None:

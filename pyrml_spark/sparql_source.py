@@ -125,15 +125,18 @@ def _eval_jsonpath_py(obj, steps: List[tuple]) -> List:
                     nxt.extend(n[i] for i in arg
                                if -len(n) <= i < len(n))
         elif kind == "filter":
-            fields, op, lit = arg
+            def _dig(el, fields):
+                v = el
+                for fld in fields:
+                    v = v.get(fld) if isinstance(v, dict) else None
+                return v
             for n in nodes:
                 if not isinstance(n, list):
                     continue
                 for el in n:
-                    v = el
-                    for fld in fields:
-                        v = v.get(fld) if isinstance(v, dict) else None
-                    if _py_pred(v, op, lit):
+                    if any(all(_py_pred(_dig(el, fields), op, lit)
+                               for fields, op, lit in conj)
+                           for conj in arg):
                         nxt.append(el)
         elif kind == "descend":
             def walk(x):

@@ -244,7 +244,7 @@ def test_jsonpath_unsupported_is_loud(spark, tmp_path):
     with open(p, "w") as f:
         f.write('{"a": [{"f": 1}]}')
     for bad in ("$..*", "$.a.", "$..", "$.a[f,g]",
-                "$.a[?(@.f > 0 && @.g < 2)]",   # boolean connectives
+                "$.a[?((@.f > 0) && (@.g < 2))]",  # parenthesized grouping
                 "$.a[?(@.f =~ /x/)]",           # regex match
                 "$.a[0:4:2]",                   # stepped slice
                 "$.a[?(@.f > @.g)]"):           # @-to-@ compare
@@ -281,6 +281,50 @@ def test_jsonpath_filter_predicates(spark, tmp_path):
     assert ids("$.items[?(@.price)]") == [1, 2, 3]      # existence
     assert ids("$.items[?(@.meta.ok == true)]") == [1]  # nested path
     assert ids("$.items[?(@.price == null)]") == [4]
+
+
+def test_jsonpath_filter_connectives(spark, tmp_path):
+    """&&/|| in predicates compile to AND/OR Column conditions ('&&' binds
+    tighter — OR of ANDs); a term over a field absent from the schema is
+    statically false, matching jsonpath no-match semantics."""
+    from pyrml_spark.sources import load_json_source
+
+    doc = """{
+      "items": [
+        {"id": 1, "price": 5,  "tag": "a"},
+        {"id": 2, "price": 15, "tag": "b"},
+        {"id": 3, "price": 25, "tag": "a"},
+        {"id": 4, "tag": "c"}
+      ]
+    }"""
+    p = str(tmp_path / "d.json")
+    with open(p, "w") as f:
+        f.write(doc)
+
+    def ids(itr):
+        df = load_json_source(spark, p, itr)
+        return sorted(r["id"] for r in df.collect())
+
+    assert ids("$.items[?(@.price > 10 && @.tag == 'a')]") == [3]
+    assert ids("$.items[?(@.price < 10 || @.price > 20)]") == [1, 3]
+    # precedence: parsed as (p>20) OR (p<10 AND tag=='a')
+    assert ids(
+        "$.items[?(@.price > 20 || @.price < 10 && @.tag == 'a')]") == [1, 3]
+    # missing field → term false, never an AnalysisException
+    assert ids("$.items[?(@.missing == 1 || @.tag == 'c')]") == [4]
+    assert ids("$.items[?(@.missing == 1 && @.tag == 'c')]") == []
+
+
+def test_jsonpath_filter_empty_array_schema(spark, tmp_path):
+    """Empty arrays infer as array<string>; a field-dereferencing predicate
+    must yield zero rows, not INVALID_EXTRACT_BASE_FIELD_TYPE (found by the
+    hypothesis differential fuzz)."""
+    from pyrml_spark.sources import load_json_source
+
+    p = str(tmp_path / "d.json")
+    with open(p, "w") as f:
+        f.write('{"items": []}')
+    assert load_json_source(spark, p, "$.items[?(@.v > 0)]").count() == 0
 
 
 def test_jsonpath_filter_top_level_array(spark, tmp_path):

@@ -57,6 +57,28 @@ _paths = st.one_of(
     st.just("$.meta.x"),
 )
 
+# predicate terms for connective fuzzing ('&&' binds tighter than '||')
+_terms = st.one_of(
+    st.tuples(st.sampled_from([">", ">=", "<", "<=", "==", "!="]),
+              st.integers(-5, 30)).map(lambda ol: f"@.v {ol[0]} {ol[1]}"),
+    st.sampled_from("abc").map(lambda t: f"@.tag == '{t}'"),
+    st.just("@.v"),
+    st.just("@.missing == 1"),
+)
+def _join_pred(terms, conns):
+    out = [terms[0]]
+    for t, c in zip(terms[1:], conns):
+        out += [c, t]
+    return "$.items[?(" + " ".join(out) + ")]"
+
+
+_conn_paths = st.tuples(
+    st.lists(_terms, min_size=2, max_size=3),
+    st.lists(st.sampled_from(["&&", "||"]), min_size=2, max_size=2),
+).map(lambda tc: _join_pred(tc[0], tc[1]))
+
+_paths = st.one_of(_paths, _conn_paths)
+
 
 def _normalize(node):
     """A matched node → hashable, None-entries dropped (Spark represents a
