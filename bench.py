@@ -45,6 +45,7 @@ HEADLINE = [
     "text_lang_id",
     "text_quality_score",
     "text_token_count",
+    "text_repetition",
     "doc_fingerprint",
     "ann_lsh_buckets",
 ]

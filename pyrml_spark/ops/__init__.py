@@ -33,10 +33,12 @@ from .textstats import (
     ORACLE_FINGERPRINT,
     ORACLE_LANG_ID,
     ORACLE_QUALITY,
+    ORACLE_REPETITION,
     ORACLE_TOKEN_COUNT,
     doc_fingerprint,
     text_lang_id,
     text_quality_score,
+    text_repetition,
     text_token_count,
 )
 
@@ -59,6 +61,7 @@ OPS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": text_lang_id,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
+    "text_repetition": text_repetition,
     "doc_fingerprint": doc_fingerprint,
     "media_features": media_features,
     "events_sessionize": events_sessionize,
@@ -81,6 +84,7 @@ OPS_ORACLES: Dict[str, str] = {
     "text_lang_id": ORACLE_LANG_ID,
     "text_quality_score": ORACLE_QUALITY,
     "text_token_count": ORACLE_TOKEN_COUNT,
+    "text_repetition": ORACLE_REPETITION,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "events_sessionize": ORACLE_SESSIONIZE,
     "media_features": ORACLE_MEDIA_FEATURES,

@@ -145,6 +145,94 @@ FROM documents
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, published quality
+    rules): per document, the fraction of word 2-grams occupied by the most
+    frequent 2-gram (`top_2gram_frac`) and by repeated 2-grams
+    (`dup_2gram_frac`), plus a `repetitive` flag.
+
+    Shuffle-FREE at any scale: instead of explode + groupBy(doc_id, gram)
+    (two shuffles, gram rows ≈ token count through the exchange), the
+    2-gram array is sorted per-doc (`array_sort`) and both statistics fall
+    out of one run-length pass with `F.aggregate` — the longest run of a
+    sorted array IS the top frequency, and (n − runs) IS the duplicate
+    count. A pure narrow map: 100 TB of documents never shuffles a byte."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), r"\s+")
+    n = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("maxrun"), F.lit(0).alias("dups"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"] == x
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["maxrun"], run).alias("maxrun"),
+            (acc["dups"] + F.when(same, 1).otherwise(0)).alias("dups"),
+        )
+
+    # staged selects on purpose: CollapseProject keeps a Project boundary
+    # when collapsing would duplicate an expensive expression, so the
+    # 2-gram build and the run-length aggregate each evaluate ONCE per row
+    # (a single collapsed Project inlines them per output column — and
+    # lambda-bearing Projects fall outside whole-stage codegen's runtime
+    # subexpression elimination)
+    mid = docs.select("doc_id", grams.alias("__g__"))
+    st = F.aggregate(F.array_sort("__g__"), init, step)
+    mid = mid.select(
+        "doc_id", F.size("__g__").alias("n_2grams"), st.alias("__st__"))
+    n_g = F.col("n_2grams")
+    top = F.when(n_g > 0, F.round(F.col("__st__.maxrun") / n_g, 6)) \
+        .otherwise(F.lit(0.0))
+    dup = F.when(n_g > 0, F.round(F.col("__st__.dups") / n_g, 6)) \
+        .otherwise(F.lit(0.0))
+    return mid.select(
+        "doc_id",
+        "n_2grams",
+        top.alias("top_2gram_frac"),
+        dup.alias("dup_2gram_frac"),
+        (dup > 0.05).alias("repetitive"),
+    )
+
+
+# independent method on purpose: the oracle counts via GROUP BY where the
+# Spark side run-length-encodes a sorted array — agreement checks the math,
+# not a shared implementation
+ORACLE_REPETITION = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+  FROM toks, unnest(range(1, len(t))) AS g(i)
+), per AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS INT) AS n_2grams,
+         round(max(c) * 1.0 / sum(c), 6) AS top_2gram_frac,
+         round(sum(c - 1) * 1.0 / sum(c), 6) AS dup_2gram_frac
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_2grams, 0) AS n_2grams,
+       coalesce(a.top_2gram_frac, 0.0) AS top_2gram_frac,
+       coalesce(a.dup_2gram_frac, 0.0) AS dup_2gram_frac,
+       coalesce(a.dup_2gram_frac, 0.0) > 0.05 AS repetitive
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprint: md5 over the normalized text
     (lowercase, collapsed whitespace) + a 16-bit shard bucket — the
