@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_neardup_clusters",
     "dedup_simhash",
     "ann_cosine_topk",
     "embedding_cosine_neardup",

@@ -9,10 +9,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .dedup import (
     ORACLE_MINHASH_LSH,
+    ORACLE_NEARDUP_CLUSTERS,
     ORACLE_NGRAM_JACCARD,
     ORACLE_SIMHASH,
     dedup_exact,
     dedup_minhash_lsh,
+    dedup_neardup_clusters,
     dedup_ngram_jaccard,
     dedup_simhash,
 )
@@ -52,6 +54,7 @@ FROM documents GROUP BY md5(text)
 OPS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_neardup_clusters": dedup_neardup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
@@ -75,6 +78,7 @@ OPS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 OPS_ORACLES: Dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_simhash": ORACLE_SIMHASH,
     "ann_cosine_topk": ORACLE_ANN_TOPK,

@@ -144,6 +144,82 @@ WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.8
 """
 
 
+def dedup_neardup_clusters(spark: SparkSession, sf_dir: str,
+                           threshold: float = 0.8) -> DataFrame:
+    """Fuzzy-dedup decision table: near-dup pairs → connected components →
+    one keeper per cluster (the RefinedWeb/CCNet shape — near-duplicate
+    GROUPS, not just pairs, so transitive chains a-b, b-c dedup to one doc).
+
+    Composition of two already-scale-proven pieces: the df-capped n-gram
+    Jaccard pair join (every join bucket bounded) and the pointer-doubling
+    connected-components loop (O(log diameter) rounds). Doc ids travel
+    through CC as zero-padded strings so the lexicographic min label IS the
+    numeric min. The final joins key on `labels` (near-dup docs only — a
+    small fraction of any real corpus), which AQE broadcasts.
+
+    Output: (doc_id, cluster_id = min doc in component, cluster_size,
+    keep = doc_id == cluster_id); singletons keep themselves."""
+    from ..kg.canonicalize import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold) \
+        .select("doc_a", "doc_b")
+
+    def pad(c):
+        return F.lpad(F.col(c).cast("string"), 12, "0")
+
+    edges = pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
+    labels = connected_components(edges).select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+        .join(sizes, "cluster_id", "left")
+        .withColumn("cluster_size",
+                    F.coalesce("cluster_size", F.lit(1).cast("bigint")))
+        .select(
+            "doc_id", "cluster_id", "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+    )
+
+
+# the recursive CTE enumerates every (node, reachable-node) pair and takes
+# the min — exact CC by a method disjoint from the Spark side's label
+# propagation, viable because oracle scale is small
+ORACLE_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ORACLE_NGRAM_JACCARD})
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(id, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+),
+cc AS (SELECT id, min(reach) AS cluster_id FROM walk GROUP BY id),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id
+)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(s.cluster_size, 1) AS cluster_size,
+       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM documents d
+LEFT JOIN cc c ON c.id = d.doc_id
+LEFT JOIN sizes s ON s.cluster_id = coalesce(c.cluster_id, d.doc_id)
+"""
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id + array of N_MINHASH min-hashes (seeded md5-hex over distinct
     shingles; the seed is a suffix). Entirely native expressions — one narrow
