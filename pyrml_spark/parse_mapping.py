@@ -33,6 +33,11 @@ from .model import (
 )
 from .turtle import parse_turtle
 
+try:  # full-Jinja2 parity with the reference (pyrml_mapper.py:121-133);
+    import jinja2 as _jinja2  # the regex subset below is the fallback.
+except ImportError:  # pragma: no cover - jinja2 ships in this environment
+    _jinja2 = None
+
 RR, RML, QL, CRML, CSVW, FNML, FNO = (
     R.RR, R.RML, R.QL, R.CRML, R.CSVW, R.FNML, R.FNO,
 )
@@ -80,6 +85,40 @@ def _term_id(t: tuple) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _render_jinja(text: str, base_dir: str, template_vars: dict) -> str:
+    """Render the mapping document as a Jinja2 template.
+
+    The reference renders the mapping file through ``Environment(
+    loader=FileSystemLoader(searchpath))`` where searchpath is "/" for
+    absolute mapping paths and "." otherwise (``pyrml_mapper.py:121-133``) —
+    so ``{% include %}`` resolves relative to the filesystem. We search
+    ``base_dir`` first (the mapping file's own directory) then "/" so both
+    reference spellings work. Undefined variables render empty, matching the
+    reference's default ``Undefined``.
+    """
+    if _jinja2 is not None:
+        env = _jinja2.Environment(
+            loader=_jinja2.FileSystemLoader([base_dir or ".", "/"]),
+            keep_trailing_newline=True,
+        )
+        return env.from_string(text).render(**template_vars)
+    # Fallback subset when jinja2 is unavailable: {{ var }} substitution
+    # only, with a loud ceiling — control-flow blocks or unresolved
+    # variables would otherwise surface as a baffling Turtle parse error
+    # downstream.
+    for k, v in template_vars.items():
+        text = re.sub(r"\{\{\s*" + re.escape(k) + r"\s*\}\}", str(v), text)
+    m = re.search(r"\{%.*?%\}|\{\{\s*[\w.]+\s*\}\}", text)
+    if m:
+        raise ValueError(
+            f"unsupported Jinja template construct {m.group(0)!r}: jinja2 "
+            "is not installed, so only '{{ var }}' substitution with a "
+            "provided template_vars value is supported (no control flow, "
+            "filters, or missing variables; the reference renders full "
+            "Jinja2, pyrml_mapper.py:121-133)")
+    return text
+
+
 def parse_mapping(
     text: str,
     base_dir: str = ".",
@@ -89,25 +128,16 @@ def parse_mapping(
     """Parse mapping Turtle text into a MappingPlan.
 
     ``template_vars`` performs the reference's Jinja2 preprocessing
-    (``pyrml_mapper.py:121-133``) — we support the ``{{ var }}`` substitution
-    subset without Jinja2 (not installed).
+    (``pyrml_mapper.py:121-133``): with jinja2 installed the mapping text is
+    rendered as a FULL Jinja2 template (control flow, filters, ``{% include
+    %}`` resolved against ``base_dir`` then ``/``, undefined variables
+    rendering empty — all exactly as the reference's
+    ``Environment(loader=FileSystemLoader(...))``). Without jinja2 a
+    ``{{ var }}``-substitution subset applies, with a loud error on any
+    surviving construct.
     """
-    if template_vars:
-        for k, v in template_vars.items():
-            text = re.sub(r"\{\{\s*" + re.escape(k) + r"\s*\}\}", str(v), text)
     if template_vars is not None:
-        # Loud ceiling (VERDICT r4 #3): the reference renders FULL Jinja2
-        # (pyrml_mapper.py:121-133); we support only {{ var }} substitution.
-        # Control-flow blocks surviving substitution would otherwise surface
-        # as a baffling Turtle parse error downstream.
-        m = re.search(r"\{%.*?%\}|\{\{\s*[\w.]+\s*\}\}", text)
-        if m:
-            raise ValueError(
-                f"unsupported Jinja template construct {m.group(0)!r}: only "
-                "'{{ var }}' substitution with a provided template_vars "
-                "value is supported (no control flow, filters, or missing "
-                "variables; the reference renders full Jinja2, "
-                "pyrml_mapper.py:121-133)")
+        text = _render_jinja(text, base_dir, template_vars)
     triples, captured_base, _prefixes = parse_turtle(text, base=base_iri)
     g = _Graph(triples)
     builder = _Builder(g, base_dir)
