@@ -41,12 +41,16 @@ HEADLINE = [
     "dedup_neardup_clusters",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "embedding_cosine_neardup",
     "ann_lsh_neardup",
     "text_lang_id",
     "text_quality_score",
     "text_token_count",
     "text_repetition",
+    "text_pii_redact",
+    "text_decontaminate",
+    "sample_stratified",
     "doc_fingerprint",
     "ann_lsh_buckets",
 ]

@@ -8,6 +8,7 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 
 from .dedup import (
+    ORACLE_DECONTAMINATE,
     ORACLE_MINHASH_LSH,
     ORACLE_NEARDUP_CLUSTERS,
     ORACLE_NGRAM_JACCARD,
@@ -17,28 +18,34 @@ from .dedup import (
     dedup_neardup_clusters,
     dedup_ngram_jaccard,
     dedup_simhash,
+    text_decontaminate,
 )
 from .similarity import (
+    ORACLE_ANN_IVF,
     ORACLE_ANN_LSH_BUCKETS,
     ORACLE_ANN_TOPK,
     ORACLE_COSINE_NEARDUP,
     ORACLE_LSH_NEARDUP,
     ann_cosine_topk,
+    ann_ivf_topk,
     ann_lsh_buckets,
     ann_lsh_neardup,
     embedding_cosine_neardup,
     lsh_cosine_neardup,
 )
 from .multimodal import ORACLE_MEDIA_FEATURES, media_features
+from .sampling import ORACLE_SAMPLE, sample_stratified
 from .sessions import ORACLE_SESSIONIZE, events_sessionize
 from .textstats import (
     ORACLE_FINGERPRINT,
+    ORACLE_PII,
     ORACLE_LANG_ID,
     ORACLE_QUALITY,
     ORACLE_REPETITION,
     ORACLE_TOKEN_COUNT,
     doc_fingerprint,
     text_lang_id,
+    text_pii_redact,
     text_quality_score,
     text_repetition,
     text_token_count,
@@ -58,6 +65,7 @@ OPS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_cosine_neardup": embedding_cosine_neardup,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_neardup": ann_lsh_neardup,
@@ -65,6 +73,9 @@ OPS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
     "text_repetition": text_repetition,
+    "text_pii_redact": text_pii_redact,
+    "text_decontaminate": text_decontaminate,
+    "sample_stratified": sample_stratified,
     "doc_fingerprint": doc_fingerprint,
     "media_features": media_features,
     "events_sessionize": events_sessionize,
@@ -82,6 +93,7 @@ OPS_ORACLES: Dict[str, str] = {
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_simhash": ORACLE_SIMHASH,
     "ann_cosine_topk": ORACLE_ANN_TOPK,
+    "ann_ivf_topk": ORACLE_ANN_IVF,
     "embedding_cosine_neardup": ORACLE_COSINE_NEARDUP,
     "ann_lsh_neardup": ORACLE_LSH_NEARDUP,
     "ann_lsh_buckets": ORACLE_ANN_LSH_BUCKETS,
@@ -89,6 +101,9 @@ OPS_ORACLES: Dict[str, str] = {
     "text_quality_score": ORACLE_QUALITY,
     "text_token_count": ORACLE_TOKEN_COUNT,
     "text_repetition": ORACLE_REPETITION,
+    "text_pii_redact": ORACLE_PII,
+    "text_decontaminate": ORACLE_DECONTAMINATE,
+    "sample_stratified": ORACLE_SAMPLE,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "events_sessionize": ORACLE_SESSIONIZE,
     "media_features": ORACLE_MEDIA_FEATURES,

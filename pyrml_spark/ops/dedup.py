@@ -481,3 +481,87 @@ cand AS (
 SELECT doc_a, doc_b, bit_count(xor(h_a, h_b)) AS hamming
 FROM cand WHERE bit_count(xor(h_a, h_b)) <= 8
 """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+DECON_SHINGLE_N = 5      # word 5-grams, the usual decontamination unit
+DECON_BENCH_MOD = 97     # doc_id % 97 == 0 plays the held-out benchmark set
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str,
+                       n: int = DECON_SHINGLE_N,
+                       bench_mod: int = DECON_BENCH_MOD) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with a held-out benchmark set (the GPT-3/PaLM-style 13-gram
+    filter shape, published in Brown et al. 2020 §C — here 5-grams so the
+    synthetic corpus produces hits).
+
+    The benchmark side of a decontamination pass is always SMALL (eval sets,
+    not corpora) — so its distinct shingle set is broadcast and the training
+    side never shuffles its text: explode (narrow) → broadcast semi-style
+    join → one groupBy(doc_id) whose payload is doc_id + a count. At 100 TB
+    the only exchange carries (doc_id, n_hits) for contaminated docs.
+
+    Output: every non-benchmark doc with the number of benchmark shingles it
+    shares, its own shingle count, the contamination ratio, and the drop
+    flag."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_bench = F.col("doc_id") % bench_mod == 0
+    sh = docs.select(
+        "doc_id", is_bench.alias("is_bench"),
+        F.explode(_word_shingles(F.col("text"), n)).alias("shingle"),
+    )
+    bench_sh = (
+        sh.filter("is_bench").select("shingle").distinct()
+    )
+    train_sh = sh.filter(~F.col("is_bench"))
+    hits = (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    sizes = train_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            "n_shingles",
+            F.round(F.coalesce("n_contaminated", F.lit(0))
+                    / F.col("n_shingles"), 6).alias("contamination_ratio"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {DECON_BENCH_MOD} = 0 AS is_bench,
+         string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, is_bench,
+         array_to_string(t[i:i+{DECON_SHINGLE_N - 1}], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - {DECON_SHINGLE_N - 1})) AS g(i)
+),
+bench_sh AS (SELECT DISTINCT shingle FROM sh WHERE is_bench),
+train_sh AS (SELECT doc_id, shingle FROM sh WHERE NOT is_bench),
+hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM train_sh JOIN bench_sh USING (shingle)
+  GROUP BY doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train_sh GROUP BY doc_id)
+SELECT s.doc_id,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       s.n_shingles,
+       round(coalesce(h.n_contaminated, 0) * 1.0 / s.n_shingles, 6)
+         AS contamination_ratio,
+       coalesce(h.n_contaminated, 0) > 0 AS contaminated
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+"""

@@ -59,21 +59,29 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str,
             cosine(F.col("q_emb"), F.col("c_emb")).alias("sim_raw"),
         )
     )
-    # Two-phase top-k. A single window over query_id ranks the WHOLE corpus
-    # in n_queries reduce tasks — an 8-task bottleneck stage at any scale.
-    # Phase 1 pre-reduces per input partition: grouping on
-    # (spark_partition_id, sub_bucket, query_id) puts every row of a group
-    # in one map partition, so the hash aggregate completes map-side and
-    # only k structs per group cross the shuffle. The sub_bucket split
-    # (VERDICT r3 #5) bounds the collect_list buffer: without it the
-    # aggregate gathered a whole partition's rows per query before slicing
-    # (peak memory = partition rows × n_queries structs); with G sub-buckets
-    # the buffer is partition_rows/G — and partition rows are themselves
-    # capped by spark.sql.files.maxPartitionBytes, so the peak is a fixed
-    # config-derived constant. Phase-2 input grows to parts·G·k rows per
-    # query, still trivial for the window. The struct sorts as
-    # (-sim, neighbor_id) ascending = sim desc with neighbor_id tie-break —
-    # the same total order as the final window, so the global top-k is exact.
+    return _two_phase_topk(scored, k)
+
+
+def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Exact distributed top-k per query over (query_id, neighbor_id,
+    sim_raw) rows.
+
+    A single window over query_id ranks the WHOLE corpus
+    in n_queries reduce tasks — an 8-task bottleneck stage at any scale.
+    Phase 1 pre-reduces per input partition: grouping on
+    (spark_partition_id, sub_bucket, query_id) puts every row of a group
+    in one map partition, so the hash aggregate completes map-side and
+    only k structs per group cross the shuffle. The sub_bucket split
+    (VERDICT r3 #5) bounds the collect_list buffer: without it the
+    aggregate gathered a whole partition's rows per query before slicing
+    (peak memory = partition rows × n_queries structs); with G sub-buckets
+    the buffer is partition_rows/G — and partition rows are themselves
+    capped by spark.sql.files.maxPartitionBytes, so the peak is a fixed
+    config-derived constant. Phase-2 input grows to parts·G·k rows per
+    query, still trivial for the window. The struct sorts as
+    (-sim, neighbor_id) ascending = sim desc with neighbor_id tie-break —
+    the same total order as the final window, so the global top-k is exact.
+    """
     sub_buckets = 32
     local_top = (
         scored
@@ -460,4 +468,143 @@ WHERE round(list_dot_product(a.emb, b.emb)
          / (sqrt(list_dot_product(a.emb, a.emb))
             * sqrt(list_dot_product(b.emb, b.emb))), {SIM_DECIMALS})
       >= {LSH_NEARDUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the task brief's "IVF or LSH-bucketed variant";
+# LSH exists above, this is the centroid-partitioned alternative.
+# ---------------------------------------------------------------------------
+
+IVF_CENTROID_BASE = 50   # vec_id in [BASE, BASE+N_CENTROIDS) are centroids
+IVF_CENTROIDS = 8
+IVF_NPROBE = 2
+
+
+def _centroid_norm(vec) -> float:
+    """sqrt of the sequential float64 sum of squares — the SAME fold order
+    as DuckDB's list_dot_product and Spark's F.aggregate, so the constant is
+    bit-identical across the three engines."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    import math
+
+    return math.sqrt(acc)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str,
+                 n_queries: int = N_QUERIES, k: int = TOP_K,
+                 n_centroids: int = IVF_CENTROIDS,
+                 nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into Voronoi cells
+    around fixed centroids, then search only the query's ``nprobe`` nearest
+    cells (Jégou et al. 2011's IVF-Flat, minus the product quantizer).
+
+    Centroids here are ``n_centroids`` deterministic sample vectors
+    (``vec_id`` in a fixed range) rather than k-means output: a Lloyd step
+    recomputes means with an order-dependent float sum, which would break
+    the bit-exact DuckDB oracle — sampled centroids keep the index structure
+    (the part that matters for the plan) fully verifiable. Collecting them
+    is an 8-row driver action (like the 16-row prefix table), after which:
+
+    * assignment is a NARROW MAP — every centroid similarity is an inlined
+      literal-array fold, no join, no shuffle; cell ranking drops the
+      query-norm factor (positive per-row constant, order-preserving) so
+      each row pays ``n_centroids`` dot products, not cosines;
+    * candidate generation is an equi-join on cluster_id against the tiny
+      broadcast (query × probe) table — at 100 TB each query scans
+      ~nprobe/n_centroids of the corpus instead of all of it;
+    * ranking reuses the bounded two-phase top-k (no single-window
+      bottleneck stage).
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = (
+        emb.filter((F.col("vec_id") >= IVF_CENTROID_BASE)
+                   & (F.col("vec_id") < IVF_CENTROID_BASE + n_centroids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cells = []
+    for row in cents:
+        lit_vec = F.array(*[F.lit(float(x)) for x in row.embedding])
+        score = _dot(F.col("embedding"), lit_vec) / F.lit(
+            _centroid_norm(row.embedding))
+        cells.append(F.struct(
+            (-score).alias("neg_sim"),
+            F.lit(int(row.vec_id)).alias("cid"),
+        ))
+    ranked_cells = F.sort_array(F.array(*cells))
+    assigned = emb.select(
+        "vec_id", "embedding",
+        F.element_at(ranked_cells, 1)["cid"].alias("cluster_id"),
+        F.slice(ranked_cells, 1, nprobe).alias("probe_cells"),
+    )
+    probes = (
+        assigned.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(F.col("probe_cells")["cid"]).alias("probe"),
+        )
+    )
+    scored = (
+        assigned.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("c_emb"), "cluster_id")
+        .join(F.broadcast(probes),
+              (F.col("cluster_id") == F.col("probe"))
+              & (F.col("neighbor_id") != F.col("query_id")))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("q_emb"), F.col("c_emb")).alias("sim_raw"))
+    )
+    return _two_phase_topk(scored, k)
+
+
+ORACLE_ANN_IVF = f"""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c_emb
+  FROM embeddings
+  WHERE vec_id >= {IVF_CENTROID_BASE}
+    AND vec_id < {IVF_CENTROID_BASE + IVF_CENTROIDS}
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cell_scores AS (
+  SELECT v.vec_id, c.cid,
+         list_dot_product(emb, c_emb)
+           / sqrt(list_dot_product(c_emb, c_emb)) AS s
+  FROM v CROSS JOIN c
+),
+cell_rank AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY s DESC, cid ASC) AS rnk
+  FROM cell_scores
+),
+assign AS (SELECT vec_id, cid AS cluster_id FROM cell_rank WHERE rnk = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid AS probe
+  FROM cell_rank WHERE rnk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p
+  JOIN assign a ON a.cluster_id = p.probe AND a.vec_id != p.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(q.emb, n.emb)
+           / (sqrt(list_dot_product(q.emb, q.emb))
+              * sqrt(list_dot_product(n.emb, n.emb))) AS sim_raw
+  FROM cand
+  JOIN v q ON q.vec_id = query_id
+  JOIN v n ON n.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(sim_raw, {SIM_DECIMALS}) AS sim
+FROM ranked WHERE rank <= {TOP_K}
 """

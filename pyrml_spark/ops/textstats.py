@@ -252,3 +252,100 @@ SELECT doc_id,
        CAST(('0x' || substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 4))::BIGINT AS INT) AS shard_bucket
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB oracle): no
+# lookarounds, no backrefs, ASCII \b word boundaries only.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically inject PII into the synthetic corpus (which has
+    none) so the detector has real positives: email on doc_id%2==0, IPv4 on
+    doc_id%3==0, phone on doc_id%5==0. The oracle performs the identical
+    injection, so detection AND redaction are value-verified end to end."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 2 == 0,
+        F.concat(F.lit(" reach user"), did.cast("string"),
+                 F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" from 10.2."), (did % 256).cast("string"),
+                 F.lit("."), ((did * 7) % 256).cast("string")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" tel 555-"),
+                 F.lpad((did % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), email, ip, phone).alias("text"))
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: per-document counts of emails / IPv4
+    addresses / phone-like numbers, and the text with each replaced by a
+    typed placeholder — the standard pre-training scrub pass (C4/CCNet do
+    exactly this shape with regex families).
+
+    A pure narrow map (regexp_extract_all + regexp_replace, all JVM-side):
+    100 TB of documents streams through without a shuffle. Redaction order
+    is email → IPv4 → phone; the patterns are mutually non-overlapping on
+    the placeholder text they leave behind."""
+    docs = _with_synthetic_pii(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    t = F.col("text")
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(f"({PII_EMAIL_RE})"), 1))
+    n_ips = F.size(F.regexp_extract_all(t, F.lit(f"({PII_IPV4_RE})"), 1))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(f"({PII_PHONE_RE})"), 1))
+    redacted = F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]")
+    redacted = F.regexp_replace(redacted, PII_IPV4_RE, "[IP]")
+    redacted = F.regexp_replace(redacted, PII_PHONE_RE, "[PHONE]")
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        (n_emails + n_ips + n_phones).alias("pii_total"),
+        redacted.alias("redacted"),
+    )
+
+
+ORACLE_PII = f"""
+WITH enriched AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '({PII_EMAIL_RE})', 1)) AS n_emails,
+       len(regexp_extract_all(text, '({PII_IPV4_RE})', 1)) AS n_ips,
+       len(regexp_extract_all(text, '({PII_PHONE_RE})', 1)) AS n_phones,
+       len(regexp_extract_all(text, '({PII_EMAIL_RE})', 1))
+         + len(regexp_extract_all(text, '({PII_IPV4_RE})', 1))
+         + len(regexp_extract_all(text, '({PII_PHONE_RE})', 1)) AS pii_total,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+           '{PII_IPV4_RE}', '[IP]', 'g'),
+         '{PII_PHONE_RE}', '[PHONE]', 'g') AS redacted
+FROM enriched
+"""

@@ -161,3 +161,38 @@ def test_minhash_aggregation_is_partial(spark):
     # exchange is what bounds the shuffle to 16 hashes per doc per partition
     assert "partial_min" in plan, plan
     assert len(_re.findall(r"(Hash|Sort)Aggregate", plan)) >= 2, plan
+
+
+def test_pii_and_sampling_are_shuffle_free_narrow_maps(spark):
+    """PII scrub and stratified sampling must stream at scan speed: no
+    Exchange anywhere in the plan, no Python in the row path."""
+    from pyrml_spark.ops.sampling import sample_stratified
+    from pyrml_spark.ops.textstats import text_pii_redact
+
+    for q in (text_pii_redact, sample_stratified):
+        plan = plan_of(q(spark, SF_DIR))
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark):
+    """The benchmark side of decontamination is small by construction — its
+    shingle set must broadcast; the training side must never sort-merge."""
+    from pyrml_spark.ops.dedup import text_decontaminate
+
+    plan = plan_of(text_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivf_assignment_is_narrow_and_join_is_broadcast(spark):
+    """IVF: centroid assignment must not shuffle the corpus (the only
+    exchanges belong to the bounded top-k machinery), the probe join must be
+    a broadcast equi-join, and nothing falls back to BNLJ/cartesian."""
+    from pyrml_spark.ops.similarity import ann_ivf_topk
+
+    plan = plan_of(ann_ivf_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
