@@ -51,6 +51,9 @@ HEADLINE = [
     "text_pii_redact",
     "text_decontaminate",
     "sample_stratified",
+    "mixture_resample",
+    "seq_pack",
+    "corpus_mixture",
     "doc_fingerprint",
     "ann_lsh_buckets",
 ]

@@ -34,7 +34,18 @@ from .similarity import (
     lsh_cosine_neardup,
 )
 from .multimodal import ORACLE_MEDIA_FEATURES, media_features
-from .sampling import ORACLE_SAMPLE, sample_stratified
+from .packing import (
+    ORACLE_MIXTURE,
+    ORACLE_SEQ_PACK,
+    corpus_mixture,
+    seq_pack,
+)
+from .sampling import (
+    ORACLE_RESAMPLE,
+    ORACLE_SAMPLE,
+    mixture_resample,
+    sample_stratified,
+)
 from .sessions import ORACLE_SESSIONIZE, events_sessionize
 from .textstats import (
     ORACLE_FINGERPRINT,
@@ -76,6 +87,9 @@ OPS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_redact": text_pii_redact,
     "text_decontaminate": text_decontaminate,
     "sample_stratified": sample_stratified,
+    "mixture_resample": mixture_resample,
+    "seq_pack": seq_pack,
+    "corpus_mixture": corpus_mixture,
     "doc_fingerprint": doc_fingerprint,
     "media_features": media_features,
     "events_sessionize": events_sessionize,
@@ -104,6 +118,9 @@ OPS_ORACLES: Dict[str, str] = {
     "text_pii_redact": ORACLE_PII,
     "text_decontaminate": ORACLE_DECONTAMINATE,
     "sample_stratified": ORACLE_SAMPLE,
+    "mixture_resample": ORACLE_RESAMPLE,
+    "seq_pack": ORACLE_SEQ_PACK,
+    "corpus_mixture": ORACLE_MIXTURE,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "events_sessionize": ORACLE_SESSIONIZE,
     "media_features": ORACLE_MEDIA_FEATURES,

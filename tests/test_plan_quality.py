@@ -185,6 +185,45 @@ def test_decontaminate_broadcasts_benchmark_shingles(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_mixture_resample_is_shuffle_free(spark):
+    """Epoch replication is a narrow map + explode: no Exchange, no
+    Python."""
+    from pyrml_spark.ops.sampling import mixture_resample
+
+    plan = plan_of(mixture_resample(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_seq_pack_single_shard_exchange(spark):
+    """Packing shuffles exactly once — the hash exchange on `shard` that
+    feeds the per-shard running-offset window — and the payload through it
+    is (doc_id, shard, n_tokens), never the text column."""
+    import re as _re
+
+    from pyrml_spark.ops.packing import seq_pack
+
+    plan = plan_of(seq_pack(spark, SF_DIR))
+    exchanges = _re.findall(r"Exchange hashpartitioning\(shard", plan)
+    assert len(exchanges) == 1, plan
+    assert len(_re.findall(r"\bExchange\b", plan)) == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_corpus_mixture_partial_agg_before_window(spark):
+    """The mixture table aggregates map-side before its single exchange;
+    the normalizing window runs over the aggregate output (#domains rows),
+    so no whole-corpus single-task stage exists."""
+    import re as _re
+
+    from pyrml_spark.ops.packing import corpus_mixture
+
+    plan = plan_of(corpus_mixture(spark, SF_DIR))
+    # partial + final hash aggregate pair around the (lang, source) exchange
+    assert len(_re.findall(r"HashAggregate", plan)) >= 2, plan
+    assert "EvalPython" not in plan, plan
+
+
 def test_ivf_assignment_is_narrow_and_join_is_broadcast(spark):
     """IVF: centroid assignment must not shuffle the corpus (the only
     exchanges belong to the bounded top-k machinery), the probe join must be
