@@ -49,6 +49,7 @@ HEADLINE = [
     "text_token_count",
     "text_repetition",
     "text_pii_redact",
+    "text_quality_classifier",
     "text_decontaminate",
     "sample_stratified",
     "mixture_resample",

@@ -52,11 +52,13 @@ from .textstats import (
     ORACLE_PII,
     ORACLE_LANG_ID,
     ORACLE_QUALITY,
+    ORACLE_QUALITY_CLASSIFIER,
     ORACLE_REPETITION,
     ORACLE_TOKEN_COUNT,
     doc_fingerprint,
     text_lang_id,
     text_pii_redact,
+    text_quality_classifier,
     text_quality_score,
     text_repetition,
     text_token_count,
@@ -85,6 +87,7 @@ OPS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_count": text_token_count,
     "text_repetition": text_repetition,
     "text_pii_redact": text_pii_redact,
+    "text_quality_classifier": text_quality_classifier,
     "text_decontaminate": text_decontaminate,
     "sample_stratified": sample_stratified,
     "mixture_resample": mixture_resample,
@@ -116,6 +119,7 @@ OPS_ORACLES: Dict[str, str] = {
     "text_token_count": ORACLE_TOKEN_COUNT,
     "text_repetition": ORACLE_REPETITION,
     "text_pii_redact": ORACLE_PII,
+    "text_quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "text_decontaminate": ORACLE_DECONTAMINATE,
     "sample_stratified": ORACLE_SAMPLE,
     "mixture_resample": ORACLE_RESAMPLE,

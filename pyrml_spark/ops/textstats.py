@@ -290,6 +290,27 @@ def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
         "doc_id", F.concat(F.col("text"), email, ip, phone).alias("text"))
 
 
+def pii_counts(t: F.Column) -> dict:
+    """Per-kind PII match counts over a text column (narrow, JVM-side)."""
+    return {
+        "n_emails": F.size(
+            F.regexp_extract_all(t, F.lit(f"({PII_EMAIL_RE})"), 1)),
+        "n_ips": F.size(
+            F.regexp_extract_all(t, F.lit(f"({PII_IPV4_RE})"), 1)),
+        "n_phones": F.size(
+            F.regexp_extract_all(t, F.lit(f"({PII_PHONE_RE})"), 1)),
+    }
+
+
+def pii_redacted(t: F.Column) -> F.Column:
+    """Text with every PII match replaced by its typed placeholder
+    (email → IPv4 → phone; later patterns never match earlier
+    placeholders)."""
+    redacted = F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]")
+    redacted = F.regexp_replace(redacted, PII_IPV4_RE, "[IP]")
+    return F.regexp_replace(redacted, PII_PHONE_RE, "[PHONE]")
+
+
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction: per-document counts of emails / IPv4
     addresses / phone-like numbers, and the text with each replaced by a
@@ -303,19 +324,12 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_synthetic_pii(
         spark.read.parquet(f"{sf_dir}/documents.parquet"))
     t = F.col("text")
-    n_emails = F.size(F.regexp_extract_all(t, F.lit(f"({PII_EMAIL_RE})"), 1))
-    n_ips = F.size(F.regexp_extract_all(t, F.lit(f"({PII_IPV4_RE})"), 1))
-    n_phones = F.size(F.regexp_extract_all(t, F.lit(f"({PII_PHONE_RE})"), 1))
-    redacted = F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]")
-    redacted = F.regexp_replace(redacted, PII_IPV4_RE, "[IP]")
-    redacted = F.regexp_replace(redacted, PII_PHONE_RE, "[PHONE]")
+    counts = pii_counts(t)
     return docs.select(
         "doc_id",
-        n_emails.alias("n_emails"),
-        n_ips.alias("n_ips"),
-        n_phones.alias("n_phones"),
-        (n_emails + n_ips + n_phones).alias("pii_total"),
-        redacted.alias("redacted"),
+        *[c.alias(name) for name, c in counts.items()],
+        sum(counts.values(), F.lit(0)).alias("pii_total"),
+        pii_redacted(t).alias("redacted"),
     )
 
 
@@ -348,4 +362,84 @@ SELECT doc_id,
            '{PII_IPV4_RE}', '[IP]', 'g'),
          '{PII_PHONE_RE}', '[PHONE]', 'g') AS redacted
 FROM enriched
+"""
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classifier (fastText-shaped linear scorer)
+# ---------------------------------------------------------------------------
+
+# The GPT-3 / LLaMA pipelines gate documents on a linear text classifier
+# (fastText / logistic regression over hashed bag-of-words). The Spark-side
+# shape is what matters at 100 TB: hash each token to a bucket, look the
+# bucket's weight up in a small model broadcast to every executor (here:
+# inlined literal array — same thing for a model this size), sum, threshold.
+# One narrow map, no shuffle, no Python.
+#
+# Weights are a deterministic Knuth-multiplicative spread over the bucket
+# index, in INTEGER milli-units so the per-doc sum is exact and the DuckDB
+# oracle matches bit-for-bit (a real model would load its trained vector the
+# same way). Thresholding the raw logit is equivalent to thresholding the
+# sigmoid (monotone), and skipping exp() avoids cross-engine libm ulps.
+QC_BUCKETS = 64
+QC_WEIGHTS = [((b * 2654435761) % 2001) - 1000 for b in range(QC_BUCKETS)]
+QC_THRESHOLD = 0.05
+
+
+def qc_features(t: F.Column) -> tuple:
+    """(n_tokens, weight_milli_sum) columns of the linear classifier over a
+    text column — reused by the batch op and the streaming curator."""
+    weights = F.array(*[F.lit(w) for w in QC_WEIGHTS])
+    toks = F.split(t, r"\s+")
+    bucket = lambda tok: (  # noqa: E731 — inline per-token hash
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+        % QC_BUCKETS
+    )
+    sum_w = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, tok: acc
+        + F.element_at(weights, (bucket(tok) + 1).cast("int")),
+    )
+    return F.size(toks), sum_w
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bag-of-tokens linear quality score: bucket = md5(token) mod
+    QC_BUCKETS, logit = sum(weight[bucket]) / (n_tokens * 1000), keep when
+    the logit clears QC_THRESHOLD."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n, sum_w = qc_features(F.col("text"))
+    staged = docs.select(
+        "doc_id", n.alias("n_tokens"), sum_w.alias("weight_milli_sum"))
+    logit = F.round(
+        F.col("weight_milli_sum") / (F.col("n_tokens") * 1000.0), 6)
+    return staged.select(
+        "doc_id", "n_tokens", "weight_milli_sum",
+        logit.alias("quality_logit"),
+        (logit > QC_THRESHOLD).alias("keep"),
+    )
+
+
+_QC_LIST = "[" + ", ".join(str(w) for w in QC_WEIGHTS) + "]"
+
+ORACLE_QUALITY_CLASSIFIER = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '))
+           AS tok
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         sum(({_QC_LIST})[
+           CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % {QC_BUCKETS}
+                AS INT) + 1]) AS weight_milli_sum
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, weight_milli_sum,
+       round(weight_milli_sum / (n_tokens * 1000.0), 6) AS quality_logit,
+       round(weight_milli_sum / (n_tokens * 1000.0), 6) > {QC_THRESHOLD}
+         AS keep
+FROM scored
 """

@@ -169,7 +169,9 @@ def test_pii_and_sampling_are_shuffle_free_narrow_maps(spark):
     from pyrml_spark.ops.sampling import sample_stratified
     from pyrml_spark.ops.textstats import text_pii_redact
 
-    for q in (text_pii_redact, sample_stratified):
+    from pyrml_spark.ops.textstats import text_quality_classifier
+
+    for q in (text_pii_redact, sample_stratified, text_quality_classifier):
         plan = plan_of(q(spark, SF_DIR))
         assert "Exchange" not in plan, plan
         assert "EvalPython" not in plan, plan

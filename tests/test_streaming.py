@@ -122,3 +122,58 @@ def test_stateful_sessionize_stream(spark):
         (2, t0, 2, 12.0),          # events 3+5 (gap 20 min)
     }
     assert got == expected, got
+
+
+def test_curate_stream_matches_batch(spark):
+    """Streaming curation (dedup → redact → gate) over two file batches
+    equals the batch twin on (fingerprint, redacted, logit) — doc_id of the
+    dedup survivor is arrival-order-dependent, the curated CONTENT is not."""
+    from pyrml_spark.streaming.doc_stream import (
+        curate_batch,
+        curate_stream,
+        read_doc_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        in_dir = os.path.join(d, "in")
+        out_dir = os.path.join(d, "out")
+        ckpt = os.path.join(d, "ckpt")
+        base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        docs = base.limit(60).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 2 == 0,
+                       F.concat(F.lit(" ping admin"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("@example.org from 10.9.9.9")))
+                .otherwise(F.lit("")),
+            ).alias("text"),
+            "lang", "source",
+            F.timestamp_seconds(F.lit(1700000000)).alias("ingest_ts"),
+        ).cache()
+        # batch 1: originals; batch 2: exact-duplicate texts under new ids
+        docs.write.parquet(in_dir, mode="overwrite")
+        dups = docs.filter(F.col("doc_id") < 20).withColumn(
+            "doc_id", F.col("doc_id") + 100000)
+        dups.write.mode("append").parquet(in_dir)
+
+        curated = curate_stream(read_doc_stream(spark, in_dir))
+        assert curated.isStreaming
+        q = (curated.writeStream.format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(out_dir)
+        expected = curate_batch(docs.unionByName(dups).drop("ingest_ts"))
+        key = ["fingerprint", "redacted", "quality_logit"]
+        got_set = {tuple(r) for r in got.select(*key).collect()}
+        exp_set = {tuple(r) for r in expected.select(*key).collect()}
+        assert got_set == exp_set
+        assert got.count() == expected.count()  # dedup kept exactly one copy
+        # the gate actually dropped something and PII was actually redacted
+        assert got.count() < docs.count()
+        red = got.filter(F.col("redacted").contains("[EMAIL]"))
+        assert red.count() > 0
+        assert got.filter(F.col("redacted").contains("@example.org")).count() == 0
