@@ -52,6 +52,10 @@ HEADLINE = [
     "text_quality_classifier",
     "text_decontaminate",
     "sample_stratified",
+    "sample_cap_per_source",
+    "dedup_url",
+    "corpus_ngram_counts",
+    "text_boilerplate_chunks",
     "mixture_resample",
     "seq_pack",
     "corpus_mixture",

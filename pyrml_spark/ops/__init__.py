@@ -33,6 +33,16 @@ from .similarity import (
     embedding_cosine_neardup,
     lsh_cosine_neardup,
 )
+from .corpus import (
+    ORACLE_BOILERPLATE,
+    ORACLE_CAP_PER_SOURCE,
+    ORACLE_DEDUP_URL,
+    ORACLE_NGRAM_COUNTS,
+    corpus_ngram_counts,
+    dedup_url,
+    sample_cap_per_source,
+    text_boilerplate_chunks,
+)
 from .multimodal import ORACLE_MEDIA_FEATURES, media_features
 from .packing import (
     ORACLE_MIXTURE,
@@ -90,6 +100,10 @@ OPS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_classifier": text_quality_classifier,
     "text_decontaminate": text_decontaminate,
     "sample_stratified": sample_stratified,
+    "sample_cap_per_source": sample_cap_per_source,
+    "dedup_url": dedup_url,
+    "corpus_ngram_counts": corpus_ngram_counts,
+    "text_boilerplate_chunks": text_boilerplate_chunks,
     "mixture_resample": mixture_resample,
     "seq_pack": seq_pack,
     "corpus_mixture": corpus_mixture,
@@ -122,6 +136,10 @@ OPS_ORACLES: Dict[str, str] = {
     "text_quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "text_decontaminate": ORACLE_DECONTAMINATE,
     "sample_stratified": ORACLE_SAMPLE,
+    "sample_cap_per_source": ORACLE_CAP_PER_SOURCE,
+    "dedup_url": ORACLE_DEDUP_URL,
+    "corpus_ngram_counts": ORACLE_NGRAM_COUNTS,
+    "text_boilerplate_chunks": ORACLE_BOILERPLATE,
     "mixture_resample": ORACLE_RESAMPLE,
     "seq_pack": ORACLE_SEQ_PACK,
     "corpus_mixture": ORACLE_MIXTURE,

@@ -237,3 +237,57 @@ def test_ivf_assignment_is_narrow_and_join_is_broadcast(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_cap_per_source_window_is_salted_two_phase(spark):
+    """Per-domain cap: phase 1 must rank inside (source, sub) salt slices —
+    a lone `PARTITION BY source` window would funnel a hot domain through
+    one reduce task. Two Window operators, the first keyed on the salt."""
+    from pyrml_spark.ops.corpus import sample_cap_per_source
+
+    plan = plan_of(sample_cap_per_source(spark, SF_DIR))
+    assert plan.count("Window") >= 2, plan
+    assert "sub" in plan, plan  # salt column feeds the first window
+    assert "EvalPython" not in plan, plan
+
+
+def test_dedup_url_aggregation_is_partial_and_narrow(spark):
+    """URL dedup: canonicalization must stay a narrow JVM map (no Python),
+    and the groupBy(canonical_url) must partial-aggregate map-side so one
+    slim row per URL variant crosses the single exchange."""
+    import re as _re
+
+    from pyrml_spark.ops.corpus import dedup_url
+
+    plan = plan_of(dedup_url(spark, SF_DIR))
+    assert len(_re.findall(r"HashAggregate", plan)) >= 2, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_ngram_counts_two_phase_topk(spark):
+    """Vocabulary top-k: the bigram count must partial-aggregate before its
+    exchange, and the rank must run salted-then-global (two windows) so no
+    reducer ever sorts the whole vocabulary."""
+    import re as _re
+
+    from pyrml_spark.ops.corpus import corpus_ngram_counts
+
+    plan = plan_of(corpus_ngram_counts(spark, SF_DIR))
+    assert len(_re.findall(r"HashAggregate", plan)) >= 2, plan
+    assert plan.count("Window") >= 2, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_boilerplate_hot_chunks_broadcast_anti_join(spark):
+    """C4 boilerplate removal: the hot-chunk prune must be a broadcast
+    left_anti hash join (the boilerplate set is small by definition) —
+    never a shuffled join of the full chunk table against itself, and
+    never BNLJ/cartesian."""
+    from pyrml_spark.ops.corpus import text_boilerplate_chunks
+
+    plan = plan_of(text_boilerplate_chunks(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
