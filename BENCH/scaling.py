@@ -161,6 +161,11 @@ def main() -> None:
         "per_pair": pairs,
         "target": 0.8,
     }
+    if args.low == args.high:
+        # canary probe (window check), not scaling evidence — don't clobber
+        # the banked result file
+        print(json.dumps(result))
+        return
     with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
