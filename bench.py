@@ -61,6 +61,8 @@ HEADLINE = [
     "corpus_mixture",
     "doc_fingerprint",
     "ann_lsh_buckets",
+    "kg_bgp_query",
+    "kg_pagerank",
 ]
 
 # EVERY bench entry is re-run and the best rep is reported: the shared host

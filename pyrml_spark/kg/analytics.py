@@ -1,0 +1,141 @@
+"""Query and analytics operators OVER the constructed knowledge graph —
+the "use the KG" side of the north rule's construct→materialize story.
+
+* :func:`kg_bgp_query` — a basic-graph-pattern (SPARQL BGP) join over the
+  materialized (s, p, o, g) triples: each triple pattern is a
+  predicate-filtered scan of the triples table, joined on its shared
+  variables. This is exactly the access path the bucketed triples-table
+  sink (`kg/table.py`) is laid out for: the p-filter prunes at the scan,
+  and a pattern joining on the subject lands bucket-aligned.
+
+* :func:`kg_pagerank` — fixed-iteration PageRank over the entity
+  co-mention graph in FIXED-POINT integer arithmetic: ranks are BIGINT
+  micro-units, contributions use integer division, damping is
+  ``150000 + (85 * s) // 100``. Integer sums are order-independent, so
+  the DuckDB oracle reproduces every rank bit-for-bit — float PageRank
+  would diverge across engines in the reduction order. The iteration
+  shape is the scalable one (edges ⋈ ranks → groupBy(dst) with map-side
+  partial sums per round); a production run swaps the 2-round constant
+  for convergence-loop + localCheckpoint exactly as `canonicalize.py`
+  does for connected components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MENTIONS_P = "<http://kg.ex/p/mentions>"
+HASMEDIA_P = "<http://kg.ex/p/hasMedia>"
+MEDIAKIND_P = "<http://kg.ex/p/mediaKind>"
+PERSON_PREFIX = "<http://kg.ex/ent/person/"
+
+PR_SCALE = 1_000_000  # rank fixed-point: 1.0 == 1e6 micro-units
+PR_ITERS = 2
+
+
+def kg_bgp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-pattern BGP over the materialized KG::
+
+        ?doc    kg:mentions  ?person .   # person entities only
+        ?doc    kg:hasMedia  ?media .
+        ?media  kg:mediaKind ?media_kind .
+
+    "Which canonical persons are co-documented with a media asset, and
+    what kind of asset" — the canonical join-three-scans shape of a
+    SPARQL BGP compiled onto a triples table. Each pattern is a
+    predicate-pruned projection of the same scan (Catalyst collapses the
+    three filters into one pass over the cached/bucketed table at scale);
+    the joins are equi-joins on the shared variables (?doc, ?media), so
+    they shuffle on high-cardinality keys and AQE handles any hot
+    document."""
+    from .entry import kg_pipeline_fused_triples  # lazy: avoid cycle
+
+    t = kg_pipeline_fused_triples(spark, sf_dir).select("s", "p", "o")
+    mention = (
+        t.filter((F.col("p") == MENTIONS_P)
+                 & F.col("o").startswith(PERSON_PREFIX))
+        .select(F.col("s").alias("doc"), F.col("o").alias("person"))
+    )
+    media = (
+        t.filter(F.col("p") == HASMEDIA_P)
+        .select(F.col("s").alias("doc"), F.col("o").alias("media"))
+    )
+    kind = (
+        t.filter(F.col("p") == MEDIAKIND_P)
+        .select(F.col("s").alias("media"), F.col("o").alias("media_kind"))
+    )
+    return (
+        mention.join(media, "doc").join(kind, "media")
+        .select("doc", "person", "media", "media_kind")
+        .distinct()
+    )
+
+
+def _co_mention_edges(spark: SparkSession) -> DataFrame:
+    """Distinct symmetric (src, dst) edges between canonical entities
+    co-mentioned in the same document (persons resolved through the
+    sameAs canonical mapping, places by surface)."""
+    from .canonicalize import canonical_mapping
+    from .entry import _docs  # lazy: avoid cycle
+    from .extract import mentions_native, sameas_candidates
+
+    docs = _docs(spark)
+    mentions = mentions_native(docs)
+    mapping = canonical_mapping(sameas_candidates(mentions))
+    ents = (
+        mentions.join(
+            mapping,
+            (mentions["surface"] == mapping["entity"])
+            & (mentions["etype"] == "person"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "/", "etype", F.coalesce("canonical", "surface")
+            ).alias("ent"),
+        )
+        .distinct()
+    )
+    a, b = ents.alias("a"), ents.alias("b")
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("a.ent") != F.col("b.ent"))
+        .select(F.col("a.ent").alias("src"), F.col("b.ent").alias("dst"))
+        .distinct()
+    )
+
+
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PR_ITERS`` rounds of fixed-point PageRank (d = 0.85) over the
+    entity co-mention graph. Every arithmetic step is BIGINT (micro-unit
+    ranks, integer division by out-degree, damping as
+    ``150000 + (85 * s) // 100``), so the result is independent of
+    partitioning and reduction order — and the DuckDB oracle matches it
+    exactly. Per round: one broadcast-or-shuffle equi-join of ranks onto
+    edges and one map-side-combinable sum keyed on dst. The symmetric
+    edge set guarantees no dangling nodes."""
+    edges = _co_mention_edges(spark)
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(PR_SCALE).cast("long").alias("r"),
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges["src"] == ranks["node"])
+            .select("dst", F.expr("r div degree").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(150_000) + F.expr("(85 * s) div 100"))
+                .cast("long").alias("r"),
+            )
+        )
+    return ranks.select(F.col("node").alias("entity"),
+                        F.col("r").alias("pagerank_fp"))

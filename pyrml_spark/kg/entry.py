@@ -192,7 +192,8 @@ ORACLE_KG_CANONICAL = _GEN_PREFIX + """
 SELECT entity, canonical FROM mapping
 """
 
-ORACLE_KG_TRIPLES = _GEN_PREFIX + """
+# triple-assembly CTEs shared by the triples oracle and the BGP oracle
+_TRIPLES_CTES = """
 , emap AS (
   SELECT '<http://kg.ex/ent/person/' || entity || '>' AS ent_iri,
          '<http://kg.ex/ent/person/' || canonical || '>' AS canon_iri
@@ -239,11 +240,70 @@ sameas AS (
          '<http://kg.ex/graph/sameas>' AS g
   FROM mapping WHERE entity != canonical
 )
+"""
+
+ORACLE_KG_TRIPLES = _GEN_PREFIX + _TRIPLES_CTES + """
 SELECT DISTINCT s, p, o, g FROM (
   SELECT * FROM rewritten UNION ALL SELECT * FROM sameas
 )
 """
 
+ORACLE_KG_BGP = _GEN_PREFIX + _TRIPLES_CTES + """
+, t AS (
+  SELECT DISTINCT s, p, o FROM (
+    SELECT * FROM rewritten UNION ALL SELECT * FROM sameas
+  )
+)
+SELECT DISTINCT m.s AS doc, m.o AS person, h.o AS media, k.o AS media_kind
+FROM t m, t h, t k
+WHERE m.p = '<http://kg.ex/p/mentions>'
+  AND m.o LIKE '<http://kg.ex/ent/person/%'
+  AND h.p = '<http://kg.ex/p/hasMedia>' AND h.s = m.s
+  AND k.p = '<http://kg.ex/p/mediaKind>' AND k.s = h.o
+"""
+
+# fixed-point PageRank: BIGINT micro-unit ranks, integer division, damping
+# 150000 + (85*s)//100 — identical order-independent arithmetic to
+# kg/analytics.kg_pagerank, so every rank matches bit-for-bit.
+ORACLE_KG_PAGERANK = _GEN_PREFIX + """
+, ents AS (
+  SELECT DISTINCT mn.doc_id,
+         mn.etype || '/' ||
+           CASE WHEN mn.etype = 'person'
+                THEN coalesce(mp.canonical, mn.surface)
+                ELSE mn.surface END AS ent
+  FROM mentions mn
+  LEFT JOIN mapping mp
+    ON mn.surface = mp.entity AND mn.etype = 'person'
+),
+pr_edges AS (
+  SELECT DISTINCT a.ent AS src, b.ent AS dst
+  FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.ent != b.ent
+),
+deg AS (SELECT src, count(*) AS degree FROM pr_edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+c1 AS (
+  SELECT e.dst AS node, SUM(r0.r // d.degree) AS s
+  FROM pr_edges e
+  JOIN r0 ON e.src = r0.node
+  JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r1 AS (SELECT node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS r FROM c1),
+c2 AS (
+  SELECT e.dst AS node, SUM(r1.r // d.degree) AS s
+  FROM pr_edges e
+  JOIN r1 ON e.src = r1.node
+  JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r2 AS (SELECT node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS pagerank_fp
+       FROM c2)
+SELECT node AS entity, pagerank_fp FROM r2
+"""
+
+
+from .analytics import kg_bgp_query, kg_pagerank  # noqa: E402
 
 KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_documents": kg_documents,
@@ -251,6 +311,8 @@ KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_canonical_mapping": kg_canonical_mapping,
     "kg_pipeline_triples": kg_pipeline_triples,
     "kg_pipeline_fused_triples": kg_pipeline_fused_triples,
+    "kg_bgp_query": kg_bgp_query,
+    "kg_pagerank": kg_pagerank,
 }
 
 KG_ORACLES: Dict[str, str] = {
@@ -259,4 +321,6 @@ KG_ORACLES: Dict[str, str] = {
     "kg_canonical_mapping": ORACLE_KG_CANONICAL,
     "kg_pipeline_triples": ORACLE_KG_TRIPLES,
     "kg_pipeline_fused_triples": ORACLE_KG_TRIPLES,
+    "kg_bgp_query": ORACLE_KG_BGP,
+    "kg_pagerank": ORACLE_KG_PAGERANK,
 }

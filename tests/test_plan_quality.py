@@ -291,3 +291,29 @@ def test_boilerplate_hot_chunks_broadcast_anti_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_bgp_patterns_join_without_cartesian(spark):
+    """BGP compilation: three predicate-filtered scans joined on shared
+    variables must stay equi-joins (no BNLJ/cartesian) with the p-filters
+    pushed into the scans."""
+    from pyrml_spark.kg.analytics import kg_bgp_query
+
+    plan = plan_of(kg_bgp_query(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_round_sum_is_partial(spark):
+    """Each PageRank round's contribution sum must partial-aggregate
+    map-side (two HashAggregate levels around the dst exchange) and stay
+    in integer arithmetic — no Python, no floats in the rank column."""
+    import re as _re
+
+    from pyrml_spark.kg.analytics import kg_pagerank
+
+    df = kg_pagerank(spark, SF_DIR)
+    plan = plan_of(df)
+    assert len(_re.findall(r"HashAggregate", plan)) >= 2, plan
+    assert "EvalPython" not in plan, plan
+    assert dict(df.dtypes)["pagerank_fp"] == "bigint"
