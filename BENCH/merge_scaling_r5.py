@@ -1,50 +1,49 @@
 #!/usr/bin/env python
-"""Assemble the full round-5 scaling evidence: every completed 2M-doc
-(low, high) pair from the round's three invocations — the initial --reps 4
-run (banked in scaling_result_r5.json), a stray single-pair follow-up whose
-only durable record is its scaling_result.json snapshot (values inlined
-below before a canary overwrote the file), and the closing --reps 3 run.
-Nothing dropped, contended pairs included; the median across ALL pairs is
-the headline per the round-3 protocol.
+"""Assemble the full round-5 scaling evidence from the banked per-invocation
+artifacts ``BENCH/scaling_r5_*.json`` (each invocation's complete result
+JSON, committed verbatim — batch 0 is the initial --reps 4 run, the stray
+single-pair follow-up, batch 1 and batch 2 the closing --reps 3 runs).
 
-Usage: python BENCH/merge_scaling_r5.py <closing_run_log> [...]
+Idempotent and validated: inputs are read-only artifacts distinct from the
+outputs (``scaling_result_r5.json`` / ``scaling_result.json``), every pair
+must be a caged 1-core vs 4-core leg over the 2M-doc corpus (canary probes
+and other-scale runs are rejected loudly), and byte-identical duplicate
+pairs are collapsed. Median across ALL accepted pairs — contended ones
+included, nothing dropped — is the headline per the round-3 protocol.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
-import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-# The follow-up single-pair run (its scaling_result.json was later
-# overwritten by a 4v4 canary probe; these are its recorded values).
-STRAY_PAIR = {
-    "low": {"cpus": 1, "n_docs": 2000000, "triples": 21906608,
-            "elapsed_sec": 229.272, "triples_per_sec": 95548.7,
-            "calibration_loop_sec": 2.68},
-    "high": {"cpus": 4, "n_docs": 2000000, "triples": 21906608,
-             "elapsed_sec": 72.596, "triples_per_sec": 301761.3,
-             "calibration_loop_sec": 2.31},
-    "efficiency": 0.79,
-}
+N_DOCS = 2_000_000
 
 
-def main(logs: list[str]) -> None:
-    with open(os.path.join(REPO, "BENCH", "scaling_result_r5.json"),
-              encoding="utf-8") as fh:
-        pairs = json.load(fh)["per_pair"]
-    pairs.append(dict(STRAY_PAIR))
-    for path in logs:
+def main() -> None:
+    inputs = sorted(glob.glob(os.path.join(REPO, "BENCH",
+                                           "scaling_r5_*.json")))
+    if not inputs:
+        raise SystemExit("no BENCH/scaling_r5_*.json artifacts found")
+    pairs, seen = [], set()
+    for path in inputs:
         with open(path, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                # the invocation's final result JSON carries the complete
-                # per_pair list (per-pair stderr lines can be lost to log
-                # truncation)
-                if line.startswith('{"job"'):
-                    pairs.extend(json.loads(line)["per_pair"])
+            doc = json.load(fh)
+        for p in doc["per_pair"]:
+            if (p["low"]["cpus"], p["high"]["cpus"]) != (1, 4):
+                raise SystemExit(
+                    f"{path}: pair with cpus {p['low']['cpus']}v"
+                    f"{p['high']['cpus']} is not scaling evidence")
+            if p["low"]["n_docs"] != N_DOCS or p["high"]["n_docs"] != N_DOCS:
+                raise SystemExit(f"{path}: pair not at {N_DOCS} docs")
+            key = (p["low"]["elapsed_sec"], p["high"]["elapsed_sec"],
+                   p["efficiency"])
+            if key in seen:
+                continue
+            seen.add(key)
+            pairs.append({k: p[k] for k in ("low", "high", "efficiency")})
     for i, p in enumerate(pairs):
         p["rep"] = i
     effs = sorted(p["efficiency"] for p in pairs)
@@ -53,13 +52,13 @@ def main(logs: list[str]) -> None:
     result = {
         "job": "kg_pipeline_fused (generate→extract→canonicalize→"
                "materialize, single write)",
-        "n_docs": 2_000_000,
+        "n_docs": N_DOCS,
         "parallelism_ratio": 4.0,
         "protocol": "alternating caged 1-core vs 4-core pairs, best-of-3 "
                     "within the 4-core leg, median across ALL completed "
-                    "pairs (none dropped); pairs 0-3 from the initial "
-                    "--reps 4 run, pair 4 a stray single-pair follow-up, "
-                    "remaining pairs from the closing --reps 3 run",
+                    "pairs (none dropped); assembled from the committed "
+                    "per-invocation artifacts " +
+                    ", ".join(os.path.basename(p) for p in inputs),
         "scaling_efficiency": round(median, 3),
         "scaling_efficiency_median": round(median, 3),
         "per_pair": pairs,
@@ -74,4 +73,4 @@ def main(logs: list[str]) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    main()

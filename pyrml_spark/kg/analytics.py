@@ -116,7 +116,10 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly. Per round: one broadcast-or-shuffle equi-join of ranks onto
     edges and one map-side-combinable sum keyed on dst. The symmetric
     edge set guarantees no dangling nodes."""
-    edges = _co_mention_edges(spark)
+    # materialize the edge list once (lazy localCheckpoint, same pattern as
+    # the CC loop): edges feed deg AND every round's join — without the cut
+    # each round re-derives the whole mention→mapping lineage
+    edges = _co_mention_edges(spark).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
     ranks = deg.select(
         F.col("src").alias("node"),

@@ -32,7 +32,31 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 CAP_PER_SOURCE = 10
-_CAP_SUBS = 32  # phase-1 salt fan-out for hot domains
+_SALT_SUBS = 32  # phase-1 salt fan-out for hot groups
+
+
+def _salted_topk(df: DataFrame, part_cols: list, order_cols: list, k: int,
+                 salt_on: str, rank_name: str) -> DataFrame:
+    """Exact per-group top-k as two bounded window phases: phase 1 ranks
+    inside (part_cols, 32-way hash salt of ``salt_on``) and keeps ≤ k rows
+    per slice — no reducer ever sees a whole hot group — phase 2 ranks the
+    ≤ 32·k survivors per group exactly. Both phases use the same total
+    order, so the global top-k is exact (same argument as
+    `similarity._two_phase_topk`, which is the struct-aggregate variant of
+    this shape for non-window pipelines)."""
+    sub = F.pmod(F.xxhash64(salt_on), F.lit(_SALT_SUBS))
+    w1 = Window.partitionBy(*part_cols, "sub").orderBy(*order_cols)
+    survivors = (
+        df.withColumn("sub", sub)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("sub", "_rn1")
+    )
+    w2 = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return (
+        survivors.withColumn(rank_name, F.row_number().over(w2).cast("int"))
+        .filter(F.col(rank_name) <= k)
+    )
 
 
 def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,19 +77,11 @@ def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = docs.select(
         "doc_id", "source",
         F.md5(F.col("doc_id").cast("string")).alias("rank_key"),
-    ).withColumn("sub", F.pmod(F.xxhash64("doc_id"), F.lit(_CAP_SUBS)))
-    w1 = Window.partitionBy("source", "sub").orderBy("rank_key")
-    survivors = (
-        ranked.withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= CAP_PER_SOURCE)
-        .drop("sub", "rn1")
     )
-    w2 = Window.partitionBy("source").orderBy("rank_key")
-    return (
-        survivors.withColumn("cap_rank", F.row_number().over(w2))
-        .filter(F.col("cap_rank") <= CAP_PER_SOURCE)
-        .select("doc_id", "source", F.col("cap_rank").cast("int").alias("cap_rank"))
-    )
+    return _salted_topk(
+        ranked, ["source"], ["rank_key"], CAP_PER_SOURCE,
+        salt_on="doc_id", rank_name="cap_rank",
+    ).select("doc_id", "source", "cap_rank")
 
 
 ORACLE_CAP_PER_SOURCE = f"""
@@ -87,10 +103,15 @@ WHERE cap_rank <= {CAP_PER_SOURCE}
 # ---------------------------------------------------------------------------
 
 # Canonicalization regexes valid in BOTH Java regex (Spark) and RE2 (the
-# DuckDB oracle): no lookarounds, no backrefs.
+# DuckDB oracle): no lookarounds, no backrefs in the PATTERN (the tracking
+# replacement re-emits its boundary capture — "$1" in Java, "\1" in RE2).
+# The [?&] boundary keeps `ref=` from matching inside other parameter
+# names (`href=...` must survive canonicalization untouched).
 _URL_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
 _URL_FRAGMENT_RE = r"#.*$"
-_URL_TRACKING_RE = r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?"
+_URL_TRACKING_RE = r"([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+_URL_QRUN_RE = r"\?[?&]+"  # boundary runs left by stripped leading params
+_URL_ARUN_RE = r"&&+"      # boundary runs left by stripped middle params
 _URL_DANGLING_RE = r"[?&]+$"
 _URL_WWW_RE = r"^www\."
 _URL_SLASH_RE = r"/+$"
@@ -123,7 +144,9 @@ def canonical_url(url: F.Column) -> F.Column:
     stripped. Pure narrow map — five JVM-side regexp_replace calls."""
     u = F.lower(F.regexp_replace(url, _URL_SCHEME_RE, ""))
     u = F.regexp_replace(u, _URL_FRAGMENT_RE, "")
-    u = F.regexp_replace(u, _URL_TRACKING_RE, "")
+    u = F.regexp_replace(u, _URL_TRACKING_RE, "$1")
+    u = F.regexp_replace(u, _URL_QRUN_RE, "?")
+    u = F.regexp_replace(u, _URL_ARUN_RE, "&")
     u = F.regexp_replace(u, _URL_DANGLING_RE, "")
     u = F.regexp_replace(u, _URL_WWW_RE, "")
     return F.regexp_replace(u, _URL_SLASH_RE, "")
@@ -175,9 +198,13 @@ c AS (
              regexp_replace(
                regexp_replace(
                  regexp_replace(
-                   lower(regexp_replace(url, '{_URL_SCHEME_RE}', '')),
-                   '{_URL_FRAGMENT_RE}', ''),
-                 '{_URL_TRACKING_RE}', '', 'g'),
+                   regexp_replace(
+                     regexp_replace(
+                       lower(regexp_replace(url, '{_URL_SCHEME_RE}', '')),
+                       '{_URL_FRAGMENT_RE}', ''),
+                     '{_URL_TRACKING_RE}', '\\1', 'g'),
+                   '{_URL_QRUN_RE}', '?'),
+                 '{_URL_ARUN_RE}', '&', 'g'),
                '{_URL_DANGLING_RE}', ''),
              '{_URL_WWW_RE}', ''),
            '{_URL_SLASH_RE}', '') AS canonical_url
@@ -193,7 +220,6 @@ FROM c GROUP BY canonical_url
 # ---------------------------------------------------------------------------
 
 NGRAM_TOP_K = 100
-_NGRAM_SUBS = 32
 
 
 def corpus_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,21 +247,10 @@ def corpus_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ngram")
         .agg(F.count("*").alias("n_occurrences"))
     )
-    w1 = Window.partitionBy("sub").orderBy(
-        F.col("n_occurrences").desc(), F.col("ngram").asc()
-    )
-    survivors = (
-        counted.withColumn("sub", F.pmod(F.xxhash64("ngram"), F.lit(_NGRAM_SUBS)))
-        .withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= NGRAM_TOP_K)
-        .drop("sub", "rn1")
-    )
-    w2 = Window.orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
-    return (
-        survivors.withColumn("ngram_rank", F.row_number().over(w2).cast("int"))
-        .filter(F.col("ngram_rank") <= NGRAM_TOP_K)
-        .select("ngram", "n_occurrences", "ngram_rank")
-    )
+    return _salted_topk(
+        counted, [], [F.col("n_occurrences").desc(), F.col("ngram").asc()],
+        NGRAM_TOP_K, salt_on="ngram", rank_name="ngram_rank",
+    ).select("ngram", "n_occurrences", "ngram_rank")
 
 
 ORACLE_NGRAM_COUNTS = f"""

@@ -38,6 +38,10 @@ def test_canonical_url_edge_cases(spark):
         "https://www.ex.com/p/?fbclid=abc123",
         # multiple trailing slashes collapse
         "http://ex.com/dir///",
+        # href is NOT the tracking param ref — must survive verbatim
+        "http://ex.com/p?href=keep",
+        # tracking first, real param after: '?' ownership transfers
+        "http://ex.com/p?utm_source=a&id=7",
     ])
     assert got == [
         "example.com/a/b",
@@ -46,6 +50,8 @@ def test_canonical_url_edge_cases(spark):
         "ex.com/p",
         "ex.com/p",
         "ex.com/dir",
+        "ex.com/p?href=keep",
+        "ex.com/p?id=7",
     ]
 
 
@@ -59,11 +65,12 @@ def test_cap_per_source_is_exact_and_deterministic(spark):
     for src, ranks in per_src.items():
         assert sorted(ranks) == list(range(1, CAP_PER_SOURCE + 1)), src
     # deterministic under a different shuffle width
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "7")
     try:
         rows2 = sample_cap_per_source(spark, SF_DIR).collect()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
 
 
