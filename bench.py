@@ -96,11 +96,11 @@ def force(df) -> int:
 
 
 def main() -> None:
-    from __spark_entry__ import queries
+    from __spark_entry__ import all_queries
 
     spark = build_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    qmap = queries()
+    qmap = all_queries()
 
     # untimed warmup (same practice as BENCH/scaling.py): JIT, codegen,
     # shuffle service and the parquet footer caches spin up once per JVM —

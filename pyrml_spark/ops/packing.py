@@ -85,12 +85,15 @@ placed AS (
                              ROWS UNBOUNDED PRECEDING) AS cum
   FROM sized
 )
+-- CAST AS BIGINT: DuckDB's windowed sum() yields HUGEINT, and the driver's
+-- value hash is type-sensitive (the round-2 events_sessionize lesson) — Spark
+-- emits BIGINT, so the oracle must too.
 SELECT doc_id, shard, n_tokens,
-       cum - n_tokens AS start_offset,
-       (cum - n_tokens) // {SEQ_LEN} AS pack_first,
-       (cum - 1) // {SEQ_LEN} AS pack_last,
-       (cum - 1) // {SEQ_LEN} - (cum - n_tokens) // {SEQ_LEN} + 1
-         AS packs_spanned
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // {SEQ_LEN} AS BIGINT) AS pack_first,
+       CAST((cum - 1) // {SEQ_LEN} AS BIGINT) AS pack_last,
+       CAST((cum - 1) // {SEQ_LEN} - (cum - n_tokens) // {SEQ_LEN} + 1
+            AS BIGINT) AS packs_spanned
 FROM placed
 """
 
@@ -134,8 +137,11 @@ def corpus_mixture(spark: SparkSession, sf_dir: str,
 
 ORACLE_MIXTURE = f"""
 WITH g AS (
+  -- CAST AS BIGINT: DuckDB sum() yields HUGEINT; Spark emits BIGINT and the
+  -- driver's value hash is type-sensitive.
   SELECT lang, source, count(*) AS n_docs,
-         sum(len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')))
+         CAST(sum(len(string_split(
+             regexp_replace(text, '\\s+', ' ', 'g'), ' '))) AS BIGINT)
            AS n_tokens
   FROM documents GROUP BY lang, source
 ),

@@ -430,11 +430,13 @@ WITH toks AS (
   FROM documents
 ),
 scored AS (
+  -- CAST AS BIGINT: DuckDB sum() over INTEGER yields HUGEINT; Spark emits
+  -- BIGINT and the driver's value hash is type-sensitive.
   SELECT doc_id,
          count(*) AS n_tokens,
-         sum(({_QC_LIST})[
+         CAST(sum(({_QC_LIST})[
            CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % {QC_BUCKETS}
-                AS INT) + 1]) AS weight_milli_sum
+                AS INT) + 1]) AS BIGINT) AS weight_milli_sum
   FROM toks GROUP BY doc_id
 )
 SELECT doc_id, n_tokens, weight_milli_sum,
