@@ -246,6 +246,26 @@ def decode_results(text: str, fmt: str,
 
 _UNWRAPPABLE_RE = re.compile(r"\b(LIMIT|OFFSET|ORDER\s+BY)\b", re.IGNORECASE)
 
+# SPARQL prologue: any run of BASE <iri> / PREFIX pname: <iri> declarations
+# (and comments/whitespace) at the head of the query. These must be hoisted
+# OUT of the paged subquery wrapper — `SELECT * WHERE { { PREFIX ... } }` is
+# a syntax error, and nearly every real query carries a prologue.
+_PROLOGUE_RE = re.compile(
+    r"^(?:\s*(?:#[^\n]*\n"               # comment line
+    r"|BASE\s*<[^>]*>"                   # BASE <iri>
+    r"|PREFIX\s+[^\s:]*:\s*<[^>]*>"      # PREFIX pname: <iri>
+    r"))*\s*",
+    re.IGNORECASE,
+)
+
+
+def split_prologue(query: str) -> Tuple[str, str]:
+    """(prologue, body) of a SPARQL query — the prologue is re-emitted in
+    front of any wrapper the pagination planner builds around the body."""
+    m = _PROLOGUE_RE.match(query)
+    end = m.end() if m else 0
+    return query[:end], query[end:]
+
 
 def load_sparql_source(
     spark: SparkSession,
@@ -261,7 +281,10 @@ def load_sparql_source(
                          "(pyrml_core.py:906 — 'and self.__query')")
     fmt = _format_key(result_format)
 
-    if page_size is not None and _UNWRAPPABLE_RE.search(query):
+    # guard searches the body only — a PREFIX IRI containing 'limit' or
+    # 'order' must not disable pagination
+    if page_size is not None and _UNWRAPPABLE_RE.search(
+            split_prologue(query)[1]):
         warnings.warn(
             "SPARQL pagination disabled: the query already carries "
             "LIMIT/OFFSET/ORDER BY and cannot be subquery-wrapped without "
@@ -275,41 +298,79 @@ def load_sparql_source(
         schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
         return spark.createDataFrame(rows, schema)
 
-    # paged fan-out: count once, then executors fetch windows in parallel
-    count_q = f"SELECT (COUNT(*) AS ?n) WHERE {{ {{ {query} }} }}"
+    # paged fan-out: count once, then executors fetch windows in parallel.
+    # The prologue (PREFIX/BASE) is hoisted out of the body and re-emitted
+    # before each wrapper — `SELECT * WHERE { { PREFIX ... } }` is invalid
+    # SPARQL and nearly every real query carries a prologue.
+    prologue, body = split_prologue(query)
+    count_q = f"{prologue}SELECT (COUNT(*) AS ?n) WHERE {{ {{ {body} }} }}"
     ccols, crows = decode_results(fetch_sparql(endpoint, count_q, "json"),
                                   "json", "$.results.bindings[*]")
-    n_idx = next(i for i, c in enumerate(ccols) if c == "n.value")
+    n_idx = next((i for i, c in enumerate(ccols) if c == "n.value"), None)
+    if n_idx is None:
+        raise ValueError(
+            f"SPARQL pagination: COUNT probe against {endpoint!r} returned "
+            f"columns {ccols!r} with no 'n.value' binding — the endpoint "
+            "did not answer the standard count shape (HTTP-200 error "
+            "body?); unset page_size to use the single-fetch path")
     total = int(crows[0][n_idx]) if crows else 0
     n_pages = max(1, math.ceil(total / page_size))
 
     # schema probe: first page on the driver (also the only page when one
     # window covers everything)
-    first_q = f"SELECT * WHERE {{ {{ {query} }} }} LIMIT {page_size} OFFSET 0"
-    cols, first_rows = decode_results(fetch_sparql(endpoint, first_q, fmt),
-                                      fmt, iterator)
+    first_q = (f"{prologue}SELECT * WHERE {{ {{ {body} }} }} "
+               f"LIMIT {page_size} OFFSET 0")
+    ftext = fetch_sparql(endpoint, first_q, fmt)
+    pcols0, first_rows = decode_results(ftext, fmt, iterator)
+
+    # The paged schema must be the CLOSED column set, not page 0's observed
+    # keys: SPARQL JSON omits unbound optionals and per-value keys
+    # (xml:lang, datatype), so a column first appearing on a later page
+    # would otherwise be silently dropped. With the default bindings
+    # iterator the closed set comes from head.vars (value/type/xml:lang/
+    # datatype per var); with a custom iterator page-0 columns stand, and
+    # fetch_pages raises loudly on any later-page column outside them.
+    cols = pcols0
+    if fmt == "json" and (iterator is None
+                          or iterator == "$.results.bindings[*]"):
+        head_vars = json.loads(ftext).get("head", {}).get("vars", [])
+        if head_vars:
+            cols = [f"{v}.{k}" for v in head_vars
+                    for k in ("value", "type", "xml:lang", "datatype")]
+
+    def _project(got_cols: List[str], got_rows: List[list]) -> List[list]:
+        extra = [c for c in got_cols if c not in cols]
+        if extra:
+            raise ValueError(
+                f"SPARQL pagination: page returned columns {extra!r} "
+                f"outside the planned schema {cols!r} — widen the iterator "
+                "or unset page_size (single fetch derives columns from the "
+                "full result)")
+        idx = {c: i for i, c in enumerate(got_cols)}
+        return [[r[idx[c]] if c in idx else None for c in cols]
+                for r in got_rows]
+
+    first_rows = _project(pcols0, first_rows)
     schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
     if n_pages == 1:
         return spark.createDataFrame(first_rows, schema)
 
     pages = spark.range(1, n_pages).repartition(min(n_pages - 1, 64))
-    ep, it, ps, q = endpoint, iterator, page_size, query  # closure capture
+    ep, it, ps = endpoint, iterator, page_size  # closure capture
 
     def fetch_pages(batches: Iterable) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             for page in pdf["id"]:
-                pq = (f"SELECT * WHERE {{ {{ {q} }} }} "
+                pq = (f"{prologue}SELECT * WHERE {{ {{ {body} }} }} "
                       f"LIMIT {ps} OFFSET {int(page) * ps}")
                 pcols, prows = decode_results(fetch_sparql(ep, pq, fmt),
                                               fmt, it)
-                data = {c: [] for c in cols}
-                for r in prows:
-                    got = dict(zip(pcols, r))
-                    for c in cols:
-                        data[c].append(got.get(c))
-                yield pd.DataFrame(data, columns=cols, dtype=object)
+                rows = _project(pcols, prows)
+                yield pd.DataFrame(
+                    {c: [r[i] for r in rows] for i, c in enumerate(cols)},
+                    columns=cols, dtype=object)
 
     rest = pages.mapInPandas(fetch_pages, schema=schema)
     return spark.createDataFrame(first_rows, schema).unionByName(rest)

@@ -54,6 +54,26 @@ from ..sources import (
 )
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API, so it answers
+    correctly for any Spark-reachable URI (s3a://, hdfs://, file:/...).
+    ``os.path.exists`` is local-disk-only — always False for object-store
+    targets, which would silently degrade exact_dedup to blind appends.
+    Falls back to a read-probe when the JVM gateway is unavailable
+    (Spark Connect)."""
+    try:
+        jvm = spark._jvm  # classic mode: direct FS call, no scan
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        conf = spark._jsc.hadoopConfiguration()
+        return jpath.getFileSystem(conf).exists(jpath)
+    except Exception:
+        try:
+            spark.read.parquet(path).schema
+            return True
+        except Exception:
+            return False
+
+
 class StreamSourceLoader(SourceLoader):
     """SourceLoader that serves ONE designated logical source as a
     Structured-Streaming DataFrame and everything else statically."""
@@ -276,7 +296,7 @@ def write_triples_stream(
                 write_triples_table(b, target, buckets, mode="append",
                                     fmt="iceberg")
             return
-        if exact_dedup and os.path.exists(target):
+        if exact_dedup and _hadoop_path_exists(spark, target):
             touched = [r["b"] for r in b.select(
                 subject_bucket(buckets).alias("b")).distinct().collect()]
             existing = (

@@ -273,3 +273,18 @@ def test_stream_guards(spark):
 """.replace("{{ dir }}", src)
         with pytest.raises(SourceError, match="streaming RML supports"):
             convert_stream(spark, xml_map, stream_source=src).printSchema()
+
+
+def test_hadoop_path_exists(spark, tmp_path):
+    """The exact-dedup gate's existence probe goes through the Hadoop
+    FileSystem API so it answers for any Spark-reachable URI, not just
+    local paths (os.path.exists is always False on s3a://...)."""
+    from pyrml_spark.streaming.rml_stream import _hadoop_path_exists
+
+    p = str(tmp_path / "t.parquet")
+    assert not _hadoop_path_exists(spark, p)
+    spark.range(3).write.parquet(p)
+    assert _hadoop_path_exists(spark, p)
+    # scheme-qualified URI resolves through the same FS machinery
+    assert _hadoop_path_exists(spark, "file:" + p)
+    assert not _hadoop_path_exists(spark, "file:" + p + ".nope")

@@ -80,11 +80,18 @@ class _Handler(BaseHTTPRequestHandler):
                            f"</head><results>{b}</results></sparql>")
                 ctype = "application/sparql-results+xml"
             else:
+                # rows 10+ carry an xml:lang tag the earlier rows lack —
+                # exercises the paged path's closed head.vars schema (a
+                # per-value key first appearing on a later page must not be
+                # dropped)
                 payload = json.dumps({
                     "head": {"vars": VARS},
                     "results": {"bindings": [
                         {"id": {"type": "literal", "value": i},
-                         "name": {"type": "literal", "value": n}}
+                         "name": (
+                             {"type": "literal", "value": n,
+                              "xml:lang": "en"} if int(i) >= 10 else
+                             {"type": "literal", "value": n})}
                         for i, n in rows]},
                 })
                 ctype = "application/sparql-results+json"
@@ -162,6 +169,69 @@ def test_sparql_paged_fanout(spark, endpoint):
     sent = "\n".join(srv.queries)
     assert "COUNT(*)" in sent
     assert "OFFSET 14" in sent  # third window reached the server
+
+
+def test_sparql_paged_prologue_hoisted(spark, endpoint):
+    """A paged query carrying a PREFIX prologue: the prologue must be
+    hoisted OUT of the subquery wrapper (SELECT * WHERE { { PREFIX ... } }
+    is invalid SPARQL — a real endpoint would 400) and re-emitted before
+    it."""
+    url, srv = endpoint
+    srv.queries.clear()
+    q = ("PREFIX ex: <http://ex.com/>\nBASE <http://ex.com/base/>\n"
+         "SELECT ?id ?name WHERE { ?s ex:id ?id }")
+    df = load_sparql_source(spark, url, q, page_size=7)
+    got = [(r["id.value"], r["name.value"]) for r in df.collect()]
+    assert sorted(got) == sorted(ROWS)
+    for sent in srv.queries:
+        inner = sent[sent.index("{"):] if "{" in sent else sent
+        assert "PREFIX" not in inner and "BASE" not in inner, sent
+        assert sent.lstrip().startswith("PREFIX ex:"), sent
+
+
+def test_sparql_paged_head_vars_schema(spark, endpoint):
+    """The paged schema is the closed head.vars set — a per-value key
+    (xml:lang) first appearing on a later page lands in its column instead
+    of being silently dropped (page 0 = rows 0..6 has no lang tag; rows
+    10+ do)."""
+    url, _ = endpoint
+    df = load_sparql_source(spark, url, "SELECT ?id ?name WHERE { }",
+                            page_size=7)
+    assert "name.xml:lang" in df.columns and "id.datatype" in df.columns
+    langs = {r["id.value"]: r["name.xml:lang"] for r in df.collect()}
+    assert langs["15"] == "en" and langs["3"] is None
+
+
+def test_sparql_paged_count_guard(spark, endpoint, monkeypatch):
+    """A COUNT probe answered without an n binding (HTTP-200 error body)
+    raises a descriptive error instead of a bare StopIteration."""
+    import pyrml_spark.sparql_source as mod
+
+    url, _ = endpoint
+    real = mod.fetch_sparql
+
+    def fake(ep, q, fmt):
+        if "COUNT(*)" in q:
+            return json.dumps({"head": {"vars": []},
+                               "results": {"bindings": []}})
+        return real(ep, q, fmt)
+
+    monkeypatch.setattr(mod, "fetch_sparql", fake)
+    with pytest.raises(ValueError, match="COUNT probe"):
+        load_sparql_source(spark, url, "SELECT ?id WHERE { }", page_size=5)
+
+
+def test_split_prologue():
+    from pyrml_spark.sparql_source import split_prologue
+
+    pro, body = split_prologue(
+        "# comment\nPREFIX a: <http://a/>\nPREFIX b: <http://b/limit/>\n"
+        "BASE <http://c/>\nSELECT * WHERE { ?s ?p ?o }")
+    assert body == "SELECT * WHERE { ?s ?p ?o }"
+    assert "PREFIX a:" in pro and "BASE" in pro and "# comment" in pro
+    # no prologue → empty prologue, body intact
+    pro2, body2 = split_prologue("SELECT * WHERE { }")
+    assert pro2.strip() == "" and body2 == "SELECT * WHERE { }"
 
 
 def test_sparql_paged_fallback_on_carried_limit(spark, endpoint):
