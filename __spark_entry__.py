@@ -42,6 +42,9 @@ from pyspark.sql import DataFrame, SparkSession
 #   doc_fingerprint        — narrow rolling-hash map, no join/agg to guard
 #   sample_stratified      — md5-bucket sampling; sample_cap_per_source and
 #                            mixture_resample keep the sampling family green
+#   kg_bgp_from_sink       — same BGP + same oracle as kg_bgp_query, read
+#                            from the materialized bucketed sink instead of
+#                            recomputing (plan-asserted parquet scan)
 PYTEST_ONLY = frozenset({
     "rml_json_source",
     "rml_csv_source",
@@ -50,6 +53,7 @@ PYTEST_ONLY = frozenset({
     "text_token_count",
     "doc_fingerprint",
     "sample_stratified",
+    "kg_bgp_from_sink",
 })
 
 DRIVER_WINDOW = 50

@@ -62,6 +62,7 @@ HEADLINE = [
     "doc_fingerprint",
     "ann_lsh_buckets",
     "kg_bgp_query",
+    "kg_bgp_from_sink",
     "kg_pagerank",
 ]
 

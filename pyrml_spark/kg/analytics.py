@@ -52,6 +52,11 @@ def kg_bgp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .entry import kg_pipeline_fused_triples  # lazy: avoid cycle
 
     t = kg_pipeline_fused_triples(spark, sf_dir).select("s", "p", "o")
+    return _bgp_over(t)
+
+
+def _bgp_over(t: DataFrame) -> DataFrame:
+    """The three-pattern BGP body over any (s, p, o) triples DataFrame."""
     mention = (
         t.filter((F.col("p") == MENTIONS_P)
                  & F.col("o").startswith(PERSON_PREFIX))
@@ -70,6 +75,38 @@ def kg_bgp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc", "person", "media", "media_kind")
         .distinct()
     )
+
+
+# per-process cache of the materialized sink: (app_id) -> path. The corpus
+# is deterministic, so one write serves every subsequent read in the
+# process — exactly the construct-once / query-many split the sink is for.
+_SINK_CACHE: dict = {}
+
+
+def kg_bgp_from_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same BGP, but over the MATERIALIZED triples table: the fused
+    pipeline writes the subject-bucketed (s,p,o,g) sink once
+    (``kg/table.py``), and the query is three predicate-pruned parquet
+    scans + equi-joins — no datagen / mention-extraction stages in the
+    plan. At 100× you never rebuild the graph per query; this is the
+    construct-once / query-many access path the sink exists for (the
+    recompute variant ``kg_bgp_query`` stays as the self-contained driver
+    row). Results are byte-identical to ``kg_bgp_query`` — both check
+    against ORACLE_KG_BGP."""
+    import tempfile
+
+    from .entry import kg_pipeline_fused_triples  # lazy: avoid cycle
+    from .table import read_triples_table, write_triples_table
+
+    key = spark.sparkContext.applicationId
+    path = _SINK_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="kg_sink_") + "/triples"
+        write_triples_table(
+            kg_pipeline_fused_triples(spark, sf_dir), path, fmt="parquet")
+        _SINK_CACHE[key] = path
+    return _bgp_over(read_triples_table(spark, path, fmt="parquet")
+                     .select("s", "p", "o"))
 
 
 def _co_mention_edges(spark: SparkSession) -> DataFrame:

@@ -303,7 +303,7 @@ SELECT node AS entity, pagerank_fp FROM r2
 """
 
 
-from .analytics import kg_bgp_query, kg_pagerank  # noqa: E402
+from .analytics import kg_bgp_from_sink, kg_bgp_query, kg_pagerank  # noqa: E402
 
 KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_documents": kg_documents,
@@ -313,6 +313,9 @@ KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pipeline_fused_triples": kg_pipeline_fused_triples,
     "kg_bgp_query": kg_bgp_query,
     "kg_pagerank": kg_pagerank,
+    # construct-once/query-many variant — pytest-only (driver window is
+    # full at 50; same oracle as kg_bgp_query, plan-asserted sink scan)
+    "kg_bgp_from_sink": kg_bgp_from_sink,
 }
 
 KG_ORACLES: Dict[str, str] = {
@@ -323,4 +326,5 @@ KG_ORACLES: Dict[str, str] = {
     "kg_pipeline_fused_triples": ORACLE_KG_TRIPLES,
     "kg_bgp_query": ORACLE_KG_BGP,
     "kg_pagerank": ORACLE_KG_PAGERANK,
+    "kg_bgp_from_sink": ORACLE_KG_BGP,
 }

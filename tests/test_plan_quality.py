@@ -317,3 +317,18 @@ def test_pagerank_round_sum_is_partial(spark):
     assert len(_re.findall(r"HashAggregate", plan)) >= 2, plan
     assert "EvalPython" not in plan, plan
     assert dict(df.dtypes)["pagerank_fp"] == "bigint"
+
+
+def test_bgp_from_sink_scans_parquet_not_pipeline(spark):
+    """The construct-once/query-many BGP variant must read the
+    materialized bucketed sink: plan shows parquet FileScans with the
+    predicate filters pushed, and NONE of the pipeline's datagen (Range)
+    or extraction stages; joins stay equi-joins."""
+    from pyrml_spark.kg.analytics import kg_bgp_from_sink
+
+    plan = plan_of(kg_bgp_from_sink(spark, SF_DIR))
+    assert "Scan parquet" in plan, plan
+    assert "Range" not in plan, plan          # no datagen in the query DAG
+    assert "PushedFilters" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
