@@ -55,23 +55,22 @@ from ..sources import (
 
 
 def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
-    """Existence probe through the Hadoop FileSystem API, so it answers
-    correctly for any Spark-reachable URI (s3a://, hdfs://, file:/...).
+    """Readability probe for the dedup gate, correct for any
+    Spark-reachable URI (s3a://, hdfs://, file:/...): accessing
+    ``.schema`` forces the DataSource to resolve the path through the
+    Hadoop FileSystem, raising AnalysisException (PATH_NOT_FOUND /
+    UNABLE_TO_INFER_SCHEMA) when there is no readable table there.
     ``os.path.exists`` is local-disk-only — always False for object-store
     targets, which would silently degrade exact_dedup to blind appends.
-    Falls back to a read-probe when the JVM gateway is unavailable
-    (Spark Connect)."""
+    DataFrame-pure, so it works identically under Spark Connect (no py4j
+    FileSystem handle, which the Connect guard bans). An existing-but-
+    empty directory reads as absent, which is exactly right for the gate:
+    nothing to dedup against."""
     try:
-        jvm = spark._jvm  # classic mode: direct FS call, no scan
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        conf = spark._jsc.hadoopConfiguration()
-        return jpath.getFileSystem(conf).exists(jpath)
+        spark.read.parquet(path).schema
+        return True
     except Exception:
-        try:
-            spark.read.parquet(path).schema
-            return True
-        except Exception:
-            return False
+        return False
 
 
 class StreamSourceLoader(SourceLoader):
