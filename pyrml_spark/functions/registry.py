@@ -188,11 +188,37 @@ _STRPTIME_MAP = [
 ]
 
 
+def _strptime_translate(pattern: str, table) -> str:
+    """Tokenize a strptime pattern into %X directives (mapped via table) and
+    literal text. Literal LETTER runs are single-quoted — java.time treats
+    every unquoted ASCII letter as a (possibly week-based) pattern letter, so
+    an unquoted connective like Catalan/Spanish 'de' ("%d de %B %Y") reads as
+    day-of-year + local-day-of-week 'e' and throws DATETIME_WEEK_BASED_PATTERN.
+    Non-ASCII literals (CJK 年月日 …) are quoted too — harmless and uniform."""
+    mapping = dict(table)
+    out, i, n = [], 0, len(pattern)
+    while i < n:
+        tok = pattern[i:i + 2]
+        if pattern[i] == "%" and tok in mapping:
+            out.append(mapping[tok])
+            i += 2
+        elif pattern[i] == "'":
+            out.append("''")
+            i += 1
+        elif pattern[i].isalpha():
+            j = i
+            while j < n and pattern[j].isalpha():
+                j += 1
+            out.append("'" + pattern[i:j] + "'")
+            i = j
+        else:
+            out.append(pattern[i])
+            i += 1
+    return "".join(out)
+
+
 def strptime_to_java(pattern: str) -> str:
-    out = pattern
-    for py, java in _STRPTIME_MAP:
-        out = out.replace(py, java)
-    return out
+    return _strptime_translate(pattern, _STRPTIME_MAP)
 
 
 # strict two-digit (java-default) widths — used as a fallback when numeric
@@ -210,10 +236,7 @@ _NUMERIC_ADJACENT_RE = re.compile(r"(?:%[YymdHIMSj]){2}")
 
 
 def strptime_to_java_fixed(pattern: str) -> str:
-    out = pattern
-    for py, java in _STRPTIME_FIXED_MAP:
-        out = out.replace(py, java)
-    return out
+    return _strptime_translate(pattern, _STRPTIME_FIXED_MAP)
 
 
 def _const_str(col: Column) -> Optional[str]:
@@ -420,7 +443,91 @@ _LOCALE_TABLES = {
                  "토요일", "일요일"],
         "days_abbr": ["월", "화", "수", "목", "금", "토", "일"],
     },
+    # r6 tier (public CLDR calendar data). Ukrainian inflects like Russian
+    # (genitive in dates, nominative standalone) — variant lists.
+    "uk": {
+        "months": [["січня", "січень"], ["лютого", "лютий"],
+                   ["березня", "березень"], ["квітня", "квітень"],
+                   ["травня", "травень"], ["червня", "червень"],
+                   ["липня", "липень"], ["серпня", "серпень"],
+                   ["вересня", "вересень"], ["жовтня", "жовтень"],
+                   ["листопада", "листопад"], ["грудня", "грудень"]],
+        "months_abbr": ["січ", "лют", "бер", "кві", "тра", "чер", "лип",
+                        "сер", "вер", "жов", "лис", "гру"],
+        "days": ["понеділок", "вівторок", "середа", "четвер", "п'ятниця",
+                 "субота", "неділя"],
+    },
+    "ro": {
+        "months": ["ianuarie", "februarie", "martie", "aprilie", "mai",
+                   "iunie", "iulie", "august", "septembrie", "octombrie",
+                   "noiembrie", "decembrie"],
+        "months_abbr": ["ian", "feb", "mar", "apr", "mai", "iun", "iul",
+                        "aug", "sept", "oct", "nov", "dec"],
+        "days": ["luni", "marți", "miercuri", "joi", "vineri", "sâmbătă",
+                 "duminică"],
+    },
+    "hu": {
+        "months": ["január", "február", "március", "április", "május",
+                   "június", "július", "augusztus", "szeptember", "október",
+                   "november", "december"],
+        "months_abbr": ["jan", "febr", "márc", "ápr", "máj", "jún", "júl",
+                        "aug", "szept", "okt", "nov", "dec"],
+        "days": ["hétfő", "kedd", "szerda", "csütörtök", "péntek",
+                 "szombat", "vasárnap"],
+    },
+    # Norwegian: month names are identical in bokmål and nynorsk; the days
+    # alternation carries BOTH weekday sets (nynorsk måndag/tysdag/laurdag/
+    # sundag) so either strips cleanly
+    "nb": {
+        "months": ["januar", "februar", "mars", "april", "mai", "juni",
+                   "juli", "august", "september", "oktober", "november",
+                   "desember"],
+        "months_abbr": ["jan", "feb", "mar", "apr", "mai", "jun", "jul",
+                        "aug", "sep", "okt", "nov", "des"],
+        "days": ["mandag", "tirsdag", "onsdag", "torsdag", "fredag",
+                 "lørdag", "søndag", "måndag", "tysdag", "laurdag",
+                 "sundag"],
+    },
+    "ca": {
+        "months": ["gener", "febrer", "març", "abril", "maig", "juny",
+                   "juliol", "agost", "setembre", "octubre", "novembre",
+                   "desembre"],
+        "months_abbr": ["gen", "febr", "març", "abr", "maig", "juny", "jul",
+                        "ag", "set", "oct", "nov", "des"],
+        "days": ["dilluns", "dimarts", "dimecres", "dijous", "divendres",
+                 "dissabte", "diumenge"],
+    },
+    "id": {
+        "months": ["Januari", "Februari", "Maret", "April", "Mei", "Juni",
+                   "Juli", "Agustus", "September", "Oktober", "November",
+                   "Desember"],
+        "months_abbr": ["Jan", "Feb", "Mar", "Apr", "Mei", "Jun", "Jul",
+                        "Agu", "Sep", "Okt", "Nov", "Des"],
+        "days": ["Senin", "Selasa", "Rabu", "Kamis", "Jumat", "Sabtu",
+                 "Minggu"],
+    },
+    # Arabic: two Gregorian naming systems in wide use — transliterated
+    # (Egypt/Gulf, CLDR ar) and Classical/Levantine (CLDR ar-SY) — variant
+    # lists accept both; no standard abbreviations, so months_abbr reuses
+    # the transliterated names. (?U)\b treats Arabic letters as word chars.
+    "ar": {
+        "months": [["يناير", "كانون الثاني"], ["فبراير", "شباط"],
+                   ["مارس", "آذار"], ["أبريل", "نيسان"], ["مايو", "أيار"],
+                   ["يونيو", "حزيران"], ["يوليو", "تموز"], ["أغسطس", "آب"],
+                   ["سبتمبر", "أيلول"], ["أكتوبر", "تشرين الأول"],
+                   ["نوفمبر", "تشرين الثاني"], ["ديسمبر", "كانون الأول"]],
+        "months_abbr": ["يناير", "فبراير", "مارس", "أبريل", "مايو", "يونيو",
+                        "يوليو", "أغسطس", "سبتمبر", "أكتوبر", "نوفمبر",
+                        "ديسمبر"],
+        "days": ["الاثنين", "الثلاثاء", "الأربعاء", "الخميس", "الجمعة",
+                 "السبت", "الأحد"],
+    },
 }
+
+# 'no' (macrolanguage) and 'nn' (nynorsk) share the nb table: identical
+# month names, and its days alternation already carries both weekday sets
+_LOCALE_TABLES["no"] = _LOCALE_TABLES["nb"]
+_LOCALE_TABLES["nn"] = _LOCALE_TABLES["nb"]
 
 
 def _localize_to_numeric(col: Column, fmt: str, tbl: dict):

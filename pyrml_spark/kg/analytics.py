@@ -98,7 +98,10 @@ def kg_bgp_from_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .entry import kg_pipeline_fused_triples  # lazy: avoid cycle
     from .table import read_triples_table, write_triples_table
 
-    key = spark.sparkContext.applicationId
+    # Connect-safe session identity (no sparkContext): spark.app.id via
+    # conf, falling back to the session object id. sf_dir is part of the
+    # key — different inputs are different graphs.
+    key = (spark.conf.get("spark.app.id", None) or str(id(spark)), sf_dir)
     path = _SINK_CACHE.get(key)
     if path is None:
         path = tempfile.mkdtemp(prefix="kg_sink_") + "/triples"

@@ -71,35 +71,12 @@ def _flatten_struct_cols(df: DataFrame) -> DataFrame:
 
 _FILTER_RE = re.compile(
     r"^@((?:\.[A-Za-z0-9_$\-]+)+)\s*"
-    r"(?:(==|=|!=|<=|>=|<|>)\s*(.+?)\s*)?$"
+    r"(?:(==|=~|=|!=|<=|>=|<|>)\s*(.+?)\s*)?$"
 )
 
-
-def _split_connective(body: str, sep: str) -> List[str]:
-    """Quote-aware split on a top-level two-char connective (``&&``/``||``)."""
-    parts: List[str] = []
-    buf: List[str] = []
-    quote = None
-    i = 0
-    while i < len(body):
-        ch = body[i]
-        if quote:
-            buf.append(ch)
-            if ch == quote:
-                quote = None
-        elif ch in "'\"":
-            quote = ch
-            buf.append(ch)
-        elif body.startswith(sep, i):
-            parts.append("".join(buf).strip())
-            buf = []
-            i += len(sep)
-            continue
-        else:
-            buf.append(ch)
-        i += 1
-    parts.append("".join(buf).strip())
-    return parts
+# marker for a field-to-field comparison's right-hand side (@.a <op> @.b):
+# carried in the term's `lit` slot as ("__ref__", fields)
+_REF = "__ref__"
 
 
 def _parse_filter_term(term: str, inner: str, iterator: str) -> tuple:
@@ -107,10 +84,10 @@ def _parse_filter_term(term: str, inner: str, iterator: str) -> tuple:
     m = _FILTER_RE.match(term)
     if not m:
         raise SourceError(
-            f"unsupported JSONPath filter [{inner}] in {iterator!r} (only "
-            "'@.field <op> literal' and existence '@.field' terms joined "
-            "by '&&'/'||' are supported; no parenthesized grouping / "
-            "nested [?()] / regex / @-to-@ compares)")
+            f"unsupported JSONPath filter [{inner}] in {iterator!r} (terms "
+            "are '@.field <op> literal|@.field', '@.field =~ 'regex'', or "
+            "existence '@.field', joined by '&&'/'||' with parenthesized "
+            "grouping; nested [?()] is not supported)")
     fields = tuple(m.group(1).strip(".").split("."))
     op, raw = m.group(2), m.group(3)
     if op is None:
@@ -118,7 +95,28 @@ def _parse_filter_term(term: str, inner: str, iterator: str) -> tuple:
     if op == "=":
         op = "=="
     lit: object
-    if raw in ("null", "None"):
+    if raw.startswith("@."):
+        # field-to-field comparison: @.a <op> @.b (no arithmetic, one hop)
+        if op == "=~":
+            raise SourceError(
+                f"unsupported JSONPath filter [{inner}] in {iterator!r}: "
+                "'=~' needs a quoted regex literal on the right")
+        rm = re.match(r"^@((?:\.[A-Za-z0-9_$\-]+)+)$", raw)
+        if not rm:
+            raise SourceError(
+                f"unsupported JSONPath filter rhs {raw!r} in {iterator!r} "
+                "(only a plain '@.field...' path may stand on the right)")
+        lit = (_REF, tuple(rm.group(1).strip(".").split(".")))
+    elif op == "=~":
+        # quoted ('x') or jsonpath_ng-ext slash-delimited (/x/) pattern.
+        # NB: only quotes protect connectives/parens from the term scanner,
+        # so a /…/ pattern containing ')' '&&' '||' fails loudly upstream.
+        if not (len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in "'\"/"):
+            raise SourceError(
+                f"unsupported JSONPath regex {raw!r} in {iterator!r} "
+                "(the pattern must be a quoted or /slash/ literal)")
+        lit = raw[1:-1]
+    elif raw in ("null", "None"):
         lit = None
     elif raw in ("true", "false"):
         lit = raw == "true"
@@ -138,34 +136,104 @@ def _parse_filter_term(term: str, inner: str, iterator: str) -> tuple:
 
 
 def _parse_predicate(inner: str, iterator: str) -> tuple:
-    """``?(@.a <op> lit && @.b ...)`` → ("filter", dnf).
+    """``?(@.a <op> lit && (@.b ... || ...))`` → ("filter", dnf).
 
     ``dnf`` is an OR-of-ANDs tuple ``((term, ...), ...)`` with term =
     ``(fields, op, lit)`` — '&&' binds tighter than '||' (jsonpath_ng ext
-    precedence). Literals: int/float, single/double-quoted string,
-    true/false/null. Parenthesized grouping, nested ``[?()]``, regex match
-    and @-to-@ comparison raise :class:`SourceError`."""
+    precedence), parenthesized grouping distributes into DNF at parse
+    time so the evaluators stay DNF-only. Literals: int/float,
+    single/double-quoted string, true/false/null, a quoted regex after
+    ``=~`` (Java-regex ``rlike``, search semantics), or a plain ``@.b``
+    path (field-to-field comparison). Nested ``[?()]`` raises
+    :class:`SourceError`."""
     body = inner[1:].strip()  # drop '?'
-    if body.startswith("(") and body.endswith(")"):
+    if body.startswith("(") and body.endswith(")") and _paren_spans(body):
         body = body[1:-1].strip()
-    # loud on grouping parens (quote-aware: parens inside string literals ok)
-    quote = None
-    for ch in body:
+    dnf, pos = _parse_or(body, 0, inner, iterator)
+    if body[pos:].strip():
+        raise SourceError(
+            f"unsupported JSONPath filter [{inner}] in {iterator!r}: "
+            f"trailing {body[pos:].strip()!r} after a complete predicate")
+    return ("filter", dnf)
+
+
+def _paren_spans(body: str) -> bool:
+    """True iff the leading '(' matches the trailing ')' (quote-aware) —
+    '(a) && (b)' must NOT be stripped to 'a) && (b'."""
+    depth, quote = 0, None
+    for i, ch in enumerate(body):
         if quote:
             if ch == quote:
                 quote = None
         elif ch in "'\"":
             quote = ch
-        elif ch in "()":
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(body) - 1
+    return False
+
+
+def _skip_ws(body: str, i: int) -> int:
+    while i < len(body) and body[i].isspace():
+        i += 1
+    return i
+
+
+def _parse_or(body: str, i: int, inner: str, iterator: str):
+    """or := and ('||' and)* — returns (dnf, next_pos)."""
+    dnf, i = _parse_and(body, i, inner, iterator)
+    while True:
+        i = _skip_ws(body, i)
+        if not body.startswith("||", i):
+            return dnf, i
+        rhs, i = _parse_and(body, i + 2, inner, iterator)
+        dnf = dnf + rhs
+
+
+def _parse_and(body: str, i: int, inner: str, iterator: str):
+    """and := atom ('&&' atom)* — AND of DNFs distributes (cartesian
+    product of conjunctions)."""
+    dnf, i = _parse_atom(body, i, inner, iterator)
+    while True:
+        i = _skip_ws(body, i)
+        if not body.startswith("&&", i):
+            return dnf, i
+        rhs, i = _parse_atom(body, i + 2, inner, iterator)
+        dnf = tuple(a + b for a in dnf for b in rhs)
+
+
+def _parse_atom(body: str, i: int, inner: str, iterator: str):
+    """atom := '(' or ')' | term — a term runs to the next top-level
+    connective or closing paren (quote-aware)."""
+    i = _skip_ws(body, i)
+    if i < len(body) and body[i] == "(":
+        dnf, i = _parse_or(body, i + 1, inner, iterator)
+        i = _skip_ws(body, i)
+        if i >= len(body) or body[i] != ")":
             raise SourceError(
                 f"unsupported JSONPath filter [{inner}] in {iterator!r}: "
-                "parenthesized grouping inside predicates is not supported "
-                "(terms combine as OR of ANDs; '&&' binds tighter)")
-    dnf = tuple(
-        tuple(_parse_filter_term(t, inner, iterator)
-              for t in _split_connective(disjunct, "&&"))
-        for disjunct in _split_connective(body, "||"))
-    return ("filter", dnf)
+                "unbalanced parentheses in predicate")
+        return dnf, i + 1
+    start, quote = i, None
+    while i < len(body):
+        ch = body[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == ")" or body.startswith("&&", i) or body.startswith("||", i):
+            break
+        i += 1
+    term = body[start:i].strip()
+    if not term:
+        raise SourceError(
+            f"unsupported JSONPath filter [{inner}] in {iterator!r}: "
+            "empty predicate term")
+    return ((_parse_filter_term(term, inner, iterator),),), i
 
 
 def _split_union(inner: str) -> Optional[List[str]]:
@@ -307,6 +375,20 @@ def _filter_predicate(fields, op, lit):
             return c.isNotNull()
         if lit is None:
             return c.isNull() if op == "==" else c.isNotNull()
+        if op == "=~":
+            # Java-regex search semantics (rlike is unanchored), matching
+            # jsonpath_ng ext's re.search on the common pattern subset
+            return c.rlike(lit)
+        if isinstance(lit, tuple) and lit[0] == _REF:
+            lcol = x
+            for fld in lit[1]:
+                lcol = lcol.getField(fld)
+            # null rhs compares like jsonpath no-match: only != survives
+            base = {"==": c == lcol,
+                    "!=": (c != lcol) & c.isNotNull() & lcol.isNotNull(),
+                    "<": c < lcol, "<=": c <= lcol,
+                    ">": c > lcol, ">=": c >= lcol}[op]
+            return base
         lcol = F.lit(lit)
         return {"==": c == lcol, "!=": (c != lcol) & c.isNotNull(),
                 "<": c < lcol, "<=": c <= lcol,
@@ -323,15 +405,35 @@ def _dnf_elem_pred(dnf, elem_type: T.DataType):
     return pred
 
 
+def _path_type(dtype: T.DataType, fields) -> Optional[T.DataType]:
+    """Resolved type of ``@.f1.f2...`` through ``dtype``, or None when a
+    step dereferences a non-object / missing field."""
+    for fld in fields:
+        if not isinstance(dtype, T.StructType) or fld not in dtype.fieldNames():
+            return None
+        dtype = dtype[fld].dataType
+    return dtype
+
+
 def _navigable(dtype: T.DataType, fields) -> bool:
     """Whether ``@.f1.f2...`` resolves through ``dtype``. jsonpath_ng yields
     NO match when a step dereferences a non-object (so the term is false,
     never an error) — and Spark's empty-array schema inference types ``[]``
     as ``array<string>``, which would otherwise blow up ``getField``."""
-    for fld in fields:
-        if not isinstance(dtype, T.StructType) or fld not in dtype.fieldNames():
-            return False
-        dtype = dtype[fld].dataType
+    return _path_type(dtype, fields) is not None
+
+
+def _term_navigable(dtype: T.DataType, fields, op, lit) -> bool:
+    """Schema gate for one predicate term: the lhs path must resolve; a
+    ``@.b`` rhs must resolve too; ``=~`` needs a string lhs (jsonpath_ng's
+    re.search over a non-string yields no match, never an error)."""
+    lt = _path_type(dtype, fields)
+    if lt is None:
+        return False
+    if op == "=~" and not isinstance(lt, T.StringType):
+        return False
+    if isinstance(lit, tuple) and lit and lit[0] == _REF:
+        return _navigable(dtype, lit[1])
     return True
 
 
@@ -343,7 +445,8 @@ def _dnf_condition(dnf, dtype: T.DataType, leaf) -> Column:
     for conj in dnf:
         cc = None
         for fields, op, lit in conj:
-            t = (leaf(fields, op, lit) if _navigable(dtype, fields)
+            t = (leaf(fields, op, lit)
+                 if _term_navigable(dtype, fields, op, lit)
                  else F.lit(False))
             cc = t if cc is None else (cc & t)
         cond = cc if cond is None else (cond | cc)
@@ -510,12 +613,15 @@ def apply_json_iterator(df: DataFrame, iterator: Optional[str]) -> DataFrame:
             node = F.col("__node__")
         elif kind == "filter":
             if node is None:
-                # top-level array: rows ARE the elements — filter rows
+                # top-level array: rows ARE the elements — filter rows.
+                # The leaf gets a row STRUCT as its element so @-to-@
+                # right-hand paths navigate from the row, not the lhs.
+                row = F.struct(*[
+                    F.col("`" + c.replace("`", "``") + "`").alias(c)
+                    for c in df.columns])
+
                 def _row_leaf(fields, op, lit):
-                    c = F.col("`" + fields[0].replace("`", "``") + "`")
-                    for fld in fields[1:]:
-                        c = c.getField(fld)
-                    return _filter_predicate((), op, lit)(c)
+                    return _filter_predicate(fields, op, lit)(row)
                 df = df.filter(_dnf_condition(arg, df.schema, _row_leaf))
                 continue
             elem_t = df.schema["__node__"].dataType

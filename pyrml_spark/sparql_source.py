@@ -130,11 +130,21 @@ def _eval_jsonpath_py(obj, steps: List[tuple]) -> List:
                 for fld in fields:
                     v = v.get(fld) if isinstance(v, dict) else None
                 return v
+
+            def _term(el, fields, op, lit):
+                from .sources import _REF
+                if isinstance(lit, tuple) and lit and lit[0] == _REF:
+                    rv = _dig(el, lit[1])
+                    if rv is None:
+                        return False
+                    return _py_pred(_dig(el, fields), op, rv)
+                return _py_pred(_dig(el, fields), op, lit)
+
             for n in nodes:
                 if not isinstance(n, list):
                     continue
                 for el in n:
-                    if any(all(_py_pred(_dig(el, fields), op, lit)
+                    if any(all(_term(el, fields, op, lit)
                                for fields, op, lit in conj)
                            for conj in arg):
                         nxt.append(el)
@@ -161,6 +171,12 @@ def _py_pred(v, op, lit) -> bool:
         return (v is None) if op == "==" else (v is not None)
     if v is None:
         return False
+    if op == "=~":
+        if not isinstance(v, str):
+            return False
+        import re as _re
+
+        return _re.search(lit, v) is not None
     try:
         if op == "==":
             return v == lit

@@ -132,9 +132,10 @@ def escape_angle(col: Column) -> Column:
 # transliteration standing in for unidecode (not installed): Latin-1 +
 # Latin-Extended-A + Greek + Cyrillic + Arabic single-char mappings via
 # translate, multi-char expansions (æ→ae, ß→ss, θ→th, ж→zh, ث→th, …) via a
-# replace chain; CJK via :func:`cjk_translit` below (kana tables, algorithmic
-# Hangul, common-subset pinyin — rare hanzi pass through, the documented
-# remaining gap vs unidecode). Greek/Cyrillic/Arabic target strings follow
+# replace chain; CJK + Hebrew/Thai/Devanagari (r6) via :func:`cjk_translit`
+# below (kana tables, algorithmic Hangul, common-subset pinyin — rare hanzi
+# pass through, the documented remaining gap vs unidecode; the r6 scripts
+# are fully enumerated per script). Greek/Cyrillic/Arabic target strings follow
 # unidecode's published tables (η→e, χ→kh, щ→shch, خ→kh, ش→sh, …); Arabic
 # emphatic-consonant case markers (S/D/T/Z/H) wash out in the slug's
 # lowercase step, matching the reference's post-unidecode lower().
@@ -258,19 +259,71 @@ _HANZI_PINYIN = {
     "語": "Yu ", "東": "Dong ", "國": "Guo ", "學": "Xue ", "門": "Men ",
     "車": "Che ", "馬": "Ma ", "龍": "Long ", "鳥": "Niao ", "魚": "Yu ",
 }
-_CJK_GUARD = "[ぁ-ゖァ-ヺ一-鿿가-힣]"
+
+# r6 tier — Hebrew / Thai / Devanagari single-char romanizations
+# (unidecode-style simplifications; these scripts are fully enumerable
+# unlike hanzi, so the coverage is complete per script). Combining marks
+# (niqqud, Thai tone marks, virama/nukta) map to "" — deletions the
+# translate() pair cannot express, so they ride the same per-char map as
+# the hanzi table. Hamza/ayn-like letters map to "'" which the slug's
+# punctuation strip removes, matching the existing Arabic handling.
+_SCRIPT_MAP = {
+    # Hebrew U+05D0..U+05EA (+ finals), points U+05B0..U+05C2 delete
+    "א": "'", "ב": "b", "ג": "g", "ד": "d", "ה": "h", "ו": "v", "ז": "z",
+    "ח": "kh", "ט": "t", "י": "y", "ך": "k", "כ": "k", "ל": "l", "ם": "m",
+    "מ": "m", "ן": "n", "נ": "n", "ס": "s", "ע": "'", "ף": "p", "פ": "p",
+    "ץ": "ts", "צ": "ts", "ק": "q", "ר": "r", "ש": "sh", "ת": "t",
+    "ְ": "", "ֱ": "", "ֲ": "", "ֳ": "", "ִ": "", "ֵ": "", "ֶ": "", "ַ": "",
+    "ָ": "", "ֹ": "", "ֺ": "", "ֻ": "", "ּ": "", "ֽ": "", "־": "-",
+    "ׁ": "", "ׂ": "", "ׇ": "", "׳": "'", "״": '"',
+    # Thai consonants U+0E01.., vowels, tone marks (delete), digits
+    "ก": "k", "ข": "kh", "ฃ": "kh", "ค": "kh", "ฅ": "kh", "ฆ": "kh",
+    "ง": "ng", "จ": "ch", "ฉ": "ch", "ช": "ch", "ซ": "s", "ฌ": "ch",
+    "ญ": "y", "ฎ": "d", "ฏ": "t", "ฐ": "th", "ฑ": "th", "ฒ": "th",
+    "ณ": "n", "ด": "d", "ต": "t", "ถ": "th", "ท": "th", "ธ": "th",
+    "น": "n", "บ": "b", "ป": "p", "ผ": "ph", "ฝ": "f", "พ": "ph",
+    "ฟ": "f", "ภ": "ph", "ม": "m", "ย": "y", "ร": "r", "ฤ": "rue",
+    "ล": "l", "ฦ": "lue", "ว": "w", "ศ": "s", "ษ": "s", "ส": "s",
+    "ห": "h", "ฬ": "l", "อ": "o", "ฮ": "h",
+    "ะ": "a", "ั": "a", "า": "a", "ำ": "am", "ิ": "i", "ี": "i",
+    "ึ": "ue", "ื": "ue", "ุ": "u", "ู": "u", "ฺ": "", "เ": "e",
+    "แ": "ae", "โ": "o", "ใ": "ai", "ไ": "ai", "ๅ": "", "ๆ": "2",
+    "็": "", "่": "", "้": "", "๊": "", "๋": "", "์": "", "ํ": "",
+    "๐": "0", "๑": "1", "๒": "2", "๓": "3", "๔": "4", "๕": "5",
+    "๖": "6", "๗": "7", "๘": "8", "๙": "9",
+    # Devanagari: independent vowels, consonants (implicit-a omitted,
+    # unidecode-style), matras, signs (virama/nukta delete), digits
+    "अ": "a", "आ": "aa", "इ": "i", "ई": "ii", "उ": "u", "ऊ": "uu",
+    "ऋ": "r", "ऌ": "l", "ऍ": "e", "ऎ": "e", "ए": "e", "ऐ": "ai",
+    "ऑ": "o", "ऒ": "o", "ओ": "o", "औ": "au",
+    "क": "k", "ख": "kh", "ग": "g", "घ": "gh", "ङ": "ng", "च": "c",
+    "छ": "ch", "ज": "j", "झ": "jh", "ञ": "ny", "ट": "tt", "ठ": "tth",
+    "ड": "dd", "ढ": "ddh", "ण": "nn", "त": "t", "थ": "th", "द": "d",
+    "ध": "dh", "न": "n", "प": "p", "फ": "ph", "ब": "b", "भ": "bh",
+    "म": "m", "य": "y", "र": "r", "ल": "l", "ळ": "ll", "व": "v",
+    "श": "sh", "ष": "ss", "स": "s", "ह": "h",
+    "ा": "aa", "ि": "i", "ी": "ii", "ु": "u", "ू": "uu", "ृ": "r",
+    "ॄ": "rr", "ॅ": "e", "ॆ": "e", "े": "e", "ै": "ai", "ॉ": "o",
+    "ॊ": "o", "ो": "o", "ौ": "au", "्": "", "़": "", "ँ": "n",
+    "ं": "n", "ः": "h", "ऽ": "'", "।": " ", "॥": " ",
+    "०": "0", "१": "1", "२": "2", "३": "3", "४": "4", "५": "5",
+    "६": "6", "७": "7", "८": "8", "९": "9",
+}
+_CJK_GUARD = "[ぁ-ゖァ-ヺ一-鿿가-힣֐-״฀-๛ऀ-ॿ]"
 
 
 def cjk_translit(col: Column) -> Column:
-    """Per-character CJK romanization, all JVM-side: split → transform →
-    array_join, evaluated only for strings the rlike guard says contain
-    CJK. Kana/hanzi by table lookup, Hangul by arithmetic decomposition."""
+    """Per-character CJK + Hebrew/Thai/Devanagari romanization, all
+    JVM-side: split → transform → array_join, evaluated only for strings
+    the rlike guard says contain one of those scripts. Kana/hanzi and the
+    r6 scripts by table lookup, Hangul by arithmetic decomposition."""
     hira = F.array(*[F.lit(x) for x in _HIRAGANA])
     kata = F.array(*[F.lit(x) for x in _KATAKANA])
     ini = F.array(*[F.lit(x) for x in _HANGUL_INI])
     med = F.array(*[F.lit(x) for x in _HANGUL_MED])
     fin = F.array(*[F.lit(x) for x in _HANGUL_FIN])
-    hmap = F.create_map(*[F.lit(x) for kv in _HANZI_PINYIN.items()
+    hmap = F.create_map(*[F.lit(x)
+                          for kv in {**_HANZI_PINYIN, **_SCRIPT_MAP}.items()
                           for x in kv])
 
     def tr(c: Column) -> Column:

@@ -243,11 +243,14 @@ def test_jsonpath_unsupported_is_loud(spark, tmp_path):
     p = str(tmp_path / "d.json")
     with open(p, "w") as f:
         f.write('{"a": [{"f": 1}]}')
+    # r6: grouping, =~ regex, and @-to-@ compares moved into the grammar
+    # (test_jsonpath_filter_grouping_regex_refs); loud residue shrinks to:
     for bad in ("$..*", "$.a.", "$..", "$.a[f,g]",
-                "$.a[?((@.f > 0) && (@.g < 2))]",  # parenthesized grouping
-                "$.a[?(@.f =~ /x/)]",           # regex match
                 "$.a[0:4:2]",                   # stepped slice
-                "$.a[?(@.f > @.g)]"):           # @-to-@ compare
+                "$.a[?(@.f[0] > 1)]",           # indexed path inside filter
+                "$.a[?(@.f =~ /x(y)/)]",        # ')' in a /…/ regex literal
+                "$.a[?(@.f > 1]",               # unbalanced parens
+                "$.a[?(@.f in [1,2])]"):        # unsupported operator
         with pytest.raises(SourceError):
             load_json_source(spark, p, bad)
 
@@ -313,6 +316,55 @@ def test_jsonpath_filter_connectives(spark, tmp_path):
     # missing field → term false, never an AnalysisException
     assert ids("$.items[?(@.missing == 1 || @.tag == 'c')]") == [4]
     assert ids("$.items[?(@.missing == 1 && @.tag == 'c')]") == []
+
+
+def test_jsonpath_filter_grouping_regex_fieldcompare(spark, tmp_path):
+    """r6 grammar extensions: parenthesized predicate grouping (distributed
+    to DNF at parse time), '=~' regex terms (rlike search semantics), and
+    @-to-@ field comparisons; unsupported shapes stay loud."""
+    import pytest
+
+    from pyrml_spark.sources import SourceError, load_json_source
+
+    doc = """{
+      "items": [
+        {"id": 1, "price": 5,  "qty": 9, "tag": "alpha"},
+        {"id": 2, "price": 15, "qty": 2, "tag": "beta"},
+        {"id": 3, "price": 25, "qty": 25, "tag": "gamma-3"},
+        {"id": 4, "qty": 1, "tag": "delta"}
+      ]
+    }"""
+    p = str(tmp_path / "d.json")
+    with open(p, "w") as f:
+        f.write(doc)
+
+    def ids(itr):
+        df = load_json_source(spark, p, itr)
+        return sorted(r["id"] for r in df.collect())
+
+    # grouping flips the default precedence
+    assert ids("$.items[?((@.price > 20 || @.price < 10) "
+               "&& @.tag == 'alpha')]") == [1]
+    assert ids("$.items[?(@.id == 4 || (@.price > 10 "
+               "&& @.qty < 5))]") == [2, 4]
+    # nested grouping
+    assert ids("$.items[?(((@.id == 1 || @.id == 2) && @.price > 10) "
+               "|| @.tag == 'delta')]") == [2, 4]
+    # regex: search (unanchored) + anchors + class
+    assert ids("$.items[?(@.tag =~ 'a$')]") == [1, 2, 4]
+    assert ids("$.items[?(@.tag =~ '^g.*-[0-9]$')]") == [3]
+    # regex over a non-string field → no match, never an error
+    assert ids("$.items[?(@.price =~ 'x')]") == []
+    # @-to-@ comparison; missing rhs field → term false
+    assert ids("$.items[?(@.qty > @.price)]") == [1]
+    assert ids("$.items[?(@.qty == @.price)]") == [3]
+    assert ids("$.items[?(@.qty < @.price)]") == [2]
+    with pytest.raises(SourceError, match="regex"):
+        load_json_source(spark, p, "$.items[?(@.tag =~ 5)]")
+    with pytest.raises(SourceError, match="paren|unbalanced"):
+        load_json_source(spark, p, "$.items[?((@.id == 1)]")
+    with pytest.raises(SourceError, match="rhs|right"):
+        load_json_source(spark, p, "$.items[?(@.qty > @.price + 1)]")
 
 
 def test_jsonpath_filter_empty_array_schema(spark, tmp_path):
@@ -583,3 +635,19 @@ def test_sql_source_query_variant(spark, tmp_path):
            for r in RMLCompiler(spark, plan).compile().collect()}
     assert got == {("<http://ex.com/n/1>", '"alpha"'),
                    ("<http://ex.com/n/3>", '"gamma"')}
+
+
+def test_jsonpath_filter_top_level_fieldcompare(spark, tmp_path):
+    """$[?(@.a > @.b)] over a top-level array: the rhs path must navigate
+    from the ROW, not from the lhs column (regression guard for the
+    row-leaf base)."""
+    from pyrml_spark.sources import load_json_source
+
+    p = str(tmp_path / "d.json")
+    with open(p, "w") as f:
+        f.write('[{"id": 1, "a": 2, "b": 9}, {"id": 2, "a": 9, "b": 2},'
+                ' {"id": 3, "a": 5}]')
+    df = load_json_source(spark, p, "$[?(@.a > @.b)]")
+    assert [r["id"] for r in df.collect()] == [2]
+    df2 = load_json_source(spark, p, "$[?(@.id =~ '^[13]$' && @.a < 9)]")
+    assert sorted(r["id"] for r in df2.collect()) == []

@@ -247,6 +247,23 @@ def test_normalize_date_with_lang_locales(spark, reg):
         ("2020년 1월 3일", "%Y년 %m월 %d일", "ko_KR", "2020-01-03"),
         ("1월 3, 2020", "%B %d, %Y", "ko", "2020-01-03"),
         ("2020년 1월 3일 월", "%Y년 %m월 %d일 %a", "ko", "2020-01-03"),
+        # r6 locales: uk (genitive/nominative variants), ro, hu, nb/no/nn
+        # (shared table, both weekday sets), ca, id, ar (two Gregorian
+        # naming systems as variants; Arabic letters are (?U)\b word chars)
+        ("3 січня 2020", "%d %B %Y", "uk_UA", "2020-01-03"),
+        ("листопад 2021 15", "%B %Y %d", "uk", "2021-11-15"),
+        ("3 ianuarie 2020", "%d %B %Y", "ro_RO", "2020-01-03"),
+        ("vineri 12 sept. 2014", "%A %d %b %Y", "ro", "2014-09-12"),
+        ("2020. január 3.", "%Y. %B %d.", "hu_HU", "2020-01-03"),
+        ("3. januar 2020", "%d. %B %Y", "nb_NO", "2020-01-03"),
+        ("laurdag 5. desember 2020", "%A %d. %B %Y", "nn", "2020-12-05"),
+        ("mandag 5. des. 2020", "%A %d. %b %Y", "no", "2020-12-05"),
+        ("5 de març 2021", "%d de %B %Y", "ca_ES", "2021-03-05"),
+        ("12 Agustus 2001", "%d %B %Y", "id_ID", "2001-08-12"),
+        ("Jumat 12 Agu 2014", "%A %d %b %Y", "id", "2014-08-12"),
+        ("3 يناير 2020", "%d %B %Y", "ar_EG", "2020-01-03"),
+        ("3 كانون الثاني 2020", "%d %B %Y", "ar_SY", "2020-01-03"),
+        ("الجمعة 12 سبتمبر 2014", "%A %d %B %Y", "ar", "2014-09-12"),
     ]
     for value, fmt, lang, expect in cases:
         got = run1(spark, build(

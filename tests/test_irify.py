@@ -93,3 +93,24 @@ def test_irify_rare_hanzi_pass_through(spark):
     (never mangled into a wrong romanization)."""
     got = vals(spark, "v", ["龘"])
     assert got == ["龘"], got
+
+
+def test_irify_hebrew_thai_devanagari(spark):
+    """r6 tier: Hebrew / Thai / Devanagari ride the same per-char map as
+    the hanzi table (complete per script, unlike hanzi): consonantal
+    Hebrew with niqqud deleted, Thai with tone marks deleted and Thai
+    digits mapped, Devanagari with virama deleted and matras mapped."""
+    got = vals(spark, "v", [
+        "שלום",          # sh-l-v-m
+        "שָׁלוֹם",          # same word pointed: niqqud/shin-dot delete
+        "תל אביב Tel Aviv",
+        "กรุงเทพ",        # k r u ng e th ph
+        "๑๒๓",           # Thai digits
+        "นคร",           # n kh r
+        "नमस्ते",          # n m s (virama) t e
+        "हिन्दी",          # h i n (virama) d ii
+        "दिल्ली १२",      # city + Devanagari digits
+    ])
+    assert got == ["shlvm", "shlvm", "tl_byb_tel_aviv",
+                   "krungethph", "123", "nkhr",
+                   "nmste", "hindii", "dillii_12"], got

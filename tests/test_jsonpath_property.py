@@ -57,13 +57,20 @@ _paths = st.one_of(
     st.just("$.meta.x"),
 )
 
-# predicate terms for connective fuzzing ('&&' binds tighter than '||')
+# predicate terms for connective fuzzing ('&&' binds tighter than '||');
+# r6 adds regex terms (Java/Python-common pattern subset), @-to-@ field
+# comparisons, and parenthesized grouping
 _terms = st.one_of(
     st.tuples(st.sampled_from([">", ">=", "<", "<=", "==", "!="]),
               st.integers(-5, 30)).map(lambda ol: f"@.v {ol[0]} {ol[1]}"),
     st.sampled_from("abc").map(lambda t: f"@.tag == '{t}'"),
     st.just("@.v"),
     st.just("@.missing == 1"),
+    st.sampled_from(["a", "b", "c", "[ab]", "a|b", "^a$", "b$"]).map(
+        lambda p: f"@.tag =~ '{p}'"),
+    st.tuples(st.sampled_from([">", ">=", "<", "<=", "==", "!="]),
+              st.sampled_from(["@.id", "@.v"])).map(
+        lambda or_: f"@.v {or_[0]} {or_[1]}"),
 )
 def _join_pred(terms, conns):
     out = [terms[0]]
@@ -77,7 +84,22 @@ _conn_paths = st.tuples(
     st.lists(st.sampled_from(["&&", "||"]), min_size=2, max_size=2),
 ).map(lambda tc: _join_pred(tc[0], tc[1]))
 
-_paths = st.one_of(_paths, _conn_paths)
+
+def _group_pred(tc):
+    (t1, t2, t3), c1, c2, flip = tc
+    if flip:
+        return f"$.items[?(({t1} {c1} {t2}) {c2} {t3})]"
+    return f"$.items[?({t1} {c1} ({t2} {c2} {t3}))]"
+
+
+_grouped_paths = st.tuples(
+    st.tuples(_terms, _terms, _terms),
+    st.sampled_from(["&&", "||"]),
+    st.sampled_from(["&&", "||"]),
+    st.booleans(),
+).map(_group_pred)
+
+_paths = st.one_of(_paths, _conn_paths, _grouped_paths)
 
 
 def _normalize(node):
