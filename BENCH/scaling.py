@@ -28,6 +28,23 @@ samples of 8.9-9.9 GB/s vs contended samples of 0.9-4.6 GB/s on
 EITHER leg < 6.5 GB/s. Both medians are always reported — all pairs and
 rule-filtered — and every per-pair artifact is committed regardless of
 outcome.
+
+IN-LEG SAMPLER AMENDMENT (pre-registered 2026-08-18, BEFORE any r6
+batch ≥2 pair ran): r6 batch 1 produced a pair whose 4-core leg ran
+270 s (calm: 64-71 s) while BOTH sandwich probes read calm — the
+bracketing probe cannot see contention that starts and ends inside a
+leg. Amendment: a single-core sampler process, caged to a core OUTSIDE
+the leg's cage (same DRAM controller), records a STREAM-like sample
+every ~12 s for the leg's whole duration (bw_during_min/med/n in the
+artifact). Because the engine itself legitimately consumes bandwidth
+while the leg runs, the idle-probe threshold does not transfer; the
+in-leg thresholds are derived from ONE calibration pair as
+    during_threshold(level) = 0.6 x (that level's median in-leg GB/s)
+committed with the calibration artifact before any evidence pair runs.
+AMENDED RULE for batches >= 2: pair CONTAMINATED iff the original
+sandwich rule fires OR either leg's bw_during_min < its level's
+during-threshold. Batch 0/1 pairs keep the original rule (no sampler
+data exists for them); the merge reports medians under both rules.
 """
 
 from __future__ import annotations
@@ -71,6 +88,71 @@ def probe_bandwidth(cage: str) -> float:
         ["taskset", "-c", cage, sys.executable, "-c", _PROBE],
         capture_output=True, text=True, check=True)
     return round(float(out.stdout.strip().splitlines()[-1]), 2)
+
+
+# In-leg sampler (see module docstring amendment): one 2x128MB multiply
+# pass every `period` seconds, appended as JSON lines. ~2% duty cycle on
+# one core outside the leg's cage — negligible perturbation, same DRAM.
+_SAMPLER = r"""
+import json, sys, time
+import numpy as np
+out_path, period = sys.argv[1], float(sys.argv[2])
+a = np.ones(128 * 1024 * 1024 // 8, dtype=np.float64)
+b = np.empty_like(a)
+np.multiply(a, 2.0, out=b)              # untimed page-fault warmup
+while True:
+    t0 = time.time()
+    np.multiply(a, 2.0, out=b)
+    np.multiply(a, 2.0, out=b)
+    dt = time.time() - t0
+    rec = {"t": round(time.time(), 2),
+           "gbps": round(4 * a.nbytes / dt / 1e9, 2)}
+    with open(out_path, "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+    time.sleep(max(0.0, period - dt))
+"""
+
+
+def _sampler_core(leg_cpus: int) -> str:
+    """A core outside every leg cage (cages sit at the TOP of the id
+    range) but in the quiet upper half of the box."""
+    n_host = os.cpu_count() or 32
+    return str(n_host - max(leg_cpus, 4) - 2)
+
+
+def start_sampler(leg_cpus: int, period: float = 12.0):
+    """Start the caged in-leg bandwidth sampler; returns (proc, path)."""
+    fd, path = tempfile.mkstemp(prefix="bw_sampler_", suffix=".jsonl")
+    os.close(fd)
+    proc = subprocess.Popen(
+        ["taskset", "-c", _sampler_core(leg_cpus), sys.executable, "-c",
+         _SAMPLER, path, str(period)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    return proc, path
+
+
+def stop_sampler(proc, path) -> dict:
+    """Kill the sampler and fold its samples into summary fields."""
+    proc.terminate()
+    try:
+        proc.wait(timeout=5)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+    samples = []
+    try:
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    samples.append(json.loads(line)["gbps"])
+        os.unlink(path)
+    except OSError:
+        pass
+    if not samples:
+        return {"bw_during_n": 0}
+    return {"bw_during_n": len(samples),
+            "bw_during_min_gbps": round(min(samples), 2),
+            "bw_during_med_gbps": round(statistics.median(samples), 2)}
 
 _WORKER = r"""
 import json, os, sys, tempfile, time
@@ -146,16 +228,21 @@ def run_level(cpus: int, n_docs: int, reps: int = 1) -> dict:
     script = _WORKER.format(repo=REPO)
     cage = _cage_for(cpus)
     bw_before = probe_bandwidth(cage)
-    out = subprocess.run(
-        ["taskset", "-c", cage, sys.executable, "-c", script,
-         str(cpus), str(n_docs), str(reps)],
-        capture_output=True, text=True, check=True,
-    )
+    sampler, spath = start_sampler(cpus)
+    try:
+        out = subprocess.run(
+            ["taskset", "-c", cage, sys.executable, "-c", script,
+             str(cpus), str(n_docs), str(reps)],
+            capture_output=True, text=True, check=True,
+        )
+    finally:
+        during = stop_sampler(sampler, spath)
     bw_after = probe_bandwidth(cage)
     line = out.stdout.strip().splitlines()[-1]
     rec = json.loads(line)
     rec["bw_before_gbps"] = bw_before
     rec["bw_after_gbps"] = bw_after
+    rec.update(during)
     return rec
 
 
@@ -168,13 +255,26 @@ def _cage_for(cpus: int) -> str:
     return ",".join(str(c) for c in range(n_host - cpus, n_host))
 
 
+# In-leg thresholds per the pre-registered amendment procedure
+# (0.6 x calibration pair's per-level median in-leg GB/s). None until the
+# calibration artifact is committed; the during-rule is inactive before
+# that, so batch 0/1 pairs are judged by the sandwich rule alone.
+DURING_THRESHOLD_GBPS: dict = {}
+
+
 def pair_contaminated(pair: dict) -> bool:
     """The pre-registered exclusion rule (see module docstring): either
-    leg's min(bw_before, bw_after) below PROBE_EXCLUDE_GBPS."""
+    leg's min(bw_before, bw_after) below PROBE_EXCLUDE_GBPS, OR — for
+    legs carrying in-leg sampler data and a committed calibration
+    threshold for their level — bw_during_min below that threshold."""
     for leg in (pair["low"], pair["high"]):
         bws = [leg.get("bw_before_gbps"), leg.get("bw_after_gbps")]
         bws = [b for b in bws if b is not None]
         if bws and min(bws) < PROBE_EXCLUDE_GBPS:
+            return True
+        thr = DURING_THRESHOLD_GBPS.get(leg.get("cpus"))
+        dmin = leg.get("bw_during_min_gbps")
+        if thr is not None and dmin is not None and dmin < thr:
             return True
     return False
 

@@ -522,6 +522,99 @@ _LOCALE_TABLES = {
         "days": ["الاثنين", "الثلاثاء", "الأربعاء", "الخميس", "الجمعة",
                  "السبت", "الأحد"],
     },
+    # r6 tier 2 (public CLDR calendar data)
+    "cs": {
+        "months": [["ledna", "leden"], ["února", "únor"],
+                   ["března", "březen"], ["dubna", "duben"],
+                   ["května", "květen"], ["června", "červen"],
+                   ["července", "červenec"], ["srpna", "srpen"],
+                   ["září", "září"], ["října", "říjen"],
+                   ["listopadu", "listopad"], ["prosince", "prosinec"]],
+        "months_abbr": ["led", "úno", "bře", "dub", "kvě", "čvn", "čvc",
+                        "srp", "zář", "říj", "lis", "pro"],
+        "days": ["pondělí", "úterý", "středa", "čtvrtek", "pátek",
+                 "sobota", "neděle"],
+    },
+    "da": {
+        "months": ["januar", "februar", "marts", "april", "maj", "juni",
+                   "juli", "august", "september", "oktober", "november",
+                   "december"],
+        "months_abbr": ["jan", "feb", "mar", "apr", "maj", "jun", "jul",
+                        "aug", "sep", "okt", "nov", "dec"],
+        "days": ["mandag", "tirsdag", "onsdag", "torsdag", "fredag",
+                 "lørdag", "søndag"],
+    },
+    # Finnish dates use the partitive (3. tammikuuta 2020); nominative as
+    # variant. The abbr forms are the CLDR stand-alone stems.
+    "fi": {
+        "months": [["tammikuuta", "tammikuu"], ["helmikuuta", "helmikuu"],
+                   ["maaliskuuta", "maaliskuu"], ["huhtikuuta", "huhtikuu"],
+                   ["toukokuuta", "toukokuu"], ["kesäkuuta", "kesäkuu"],
+                   ["heinäkuuta", "heinäkuu"], ["elokuuta", "elokuu"],
+                   ["syyskuuta", "syyskuu"], ["lokakuuta", "lokakuu"],
+                   ["marraskuuta", "marraskuu"], ["joulukuuta", "joulukuu"]],
+        "months_abbr": ["tammi", "helmi", "maalis", "huhti", "touko",
+                        "kesä", "heinä", "elo", "syys", "loka", "marras",
+                        "joulu"],
+        "days": ["maanantai", "tiistai", "keskiviikko", "torstai",
+                 "perjantai", "lauantai", "sunnuntai"],
+    },
+    "bg": {
+        "months": ["януари", "февруари", "март", "април", "май", "юни",
+                   "юли", "август", "септември", "октомври", "ноември",
+                   "декември"],
+        "months_abbr": ["яну", "фев", "март", "апр", "май", "юни", "юли",
+                        "авг", "сеп", "окт", "ное", "дек"],
+        "days": ["понеделник", "вторник", "сряда", "четвъртък", "петък",
+                 "събота", "неделя"],
+    },
+    # Croatian inflects (genitive in dates) — variant lists like uk/cs
+    "hr": {
+        "months": [["siječnja", "siječanj"], ["veljače", "veljača"],
+                   ["ožujka", "ožujak"], ["travnja", "travanj"],
+                   ["svibnja", "svibanj"], ["lipnja", "lipanj"],
+                   ["srpnja", "srpanj"], ["kolovoza", "kolovoz"],
+                   ["rujna", "rujan"], ["listopada", "listopad"],
+                   ["studenoga", "studenog", "studeni"],
+                   ["prosinca", "prosinac"]],
+        "months_abbr": ["sij", "velj", "ožu", "tra", "svi", "lip", "srp",
+                        "kol", "ruj", "lis", "stu", "pro"],
+        "days": ["ponedjeljak", "utorak", "srijeda", "četvrtak", "petak",
+                 "subota", "nedjelja"],
+    },
+    # Hebrew: transliterated Gregorian names; weekday names without the
+    # 'יום ' prefix (it is literal text in the format when present).
+    # Hebrew letters are (?U)\b word chars, so boundaries anchor cleanly.
+    "he": {
+        "months": ["ינואר", "פברואר", "מרץ", "אפריל", "מאי", "יוני",
+                   "יולי", "אוגוסט", "ספטמבר", "אוקטובר", "נובמבר",
+                   "דצמבר"],
+        "months_abbr": ["ינו", "פבר", "מרץ", "אפר", "מאי", "יונ", "יול",
+                        "אוג", "ספט", "אוק", "נוב", "דצמ"],
+        "days": ["שני", "שלישי", "רביעי", "חמישי", "שישי", "שבת",
+                 "ראשון"],
+    },
+    "hi": {
+        "months": ["जनवरी", "फ़रवरी", "मार्च", "अप्रैल", "मई", "जून",
+                   "जुलाई", "अगस्त", "सितंबर", "अक्टूबर", "नवंबर",
+                   "दिसंबर"],
+        "months_abbr": ["जन", "फ़र", "मार्च", "अप्रै", "मई", "जून", "जुल",
+                        "अग", "सित", "अक्टू", "नव", "दिस"],
+        "days": ["सोमवार", "मंगलवार", "बुधवार", "गुरुवार", "शुक्रवार",
+                 "शनिवार", "रविवार"],
+    },
+    # Vietnamese numbers its months ('tháng 1' … 'tháng 12'); the
+    # longest-first replacement keeps 'tháng 1' from eating 'tháng 11'
+    "vi": {
+        "months": ["tháng 1", "tháng 2", "tháng 3", "tháng 4", "tháng 5",
+                   "tháng 6", "tháng 7", "tháng 8", "tháng 9", "tháng 10",
+                   "tháng 11", "tháng 12"],
+        "months_abbr": ["thg 1", "thg 2", "thg 3", "thg 4", "thg 5",
+                        "thg 6", "thg 7", "thg 8", "thg 9", "thg 10",
+                        "thg 11", "thg 12"],
+        "days": ["thứ Hai", "thứ Ba", "thứ Tư", "thứ Năm", "thứ Sáu",
+                 "thứ Bảy", "Chủ Nhật"],
+    },
 }
 
 # 'no' (macrolanguage) and 'nn' (nynorsk) share the nb table: identical

@@ -236,6 +236,11 @@ def _parse_atom(body: str, i: int, inner: str, iterator: str):
     return ((_parse_filter_term(term, inner, iterator),),), i
 
 
+# bare (unquoted) bracket field name, jsonpath_ng-style: [f] / [f,g].
+# No leading digit/'-' (those parse as indexes) and no ':' (slices).
+_BARE_FIELD_RE = re.compile(r"^[A-Za-z_$][A-Za-z0-9_$\-]*$")
+
+
 def _split_union(inner: str) -> Optional[List[str]]:
     """Split a bracket body on top-level commas (quote-aware); None when
     there is no comma outside quotes."""
@@ -271,9 +276,12 @@ def _parse_bracket(inner: str, iterator: str) -> tuple:
             return ("union_fields", tuple(p[1:-1] for p in union))
         if all(p.lstrip("-").isdigit() for p in union):
             return ("union_indexes", tuple(int(p) for p in union))
+        if all(_BARE_FIELD_RE.match(p) for p in union):
+            # jsonpath_ng accepts bare identifiers in brackets: [f,g]
+            return ("union_fields", tuple(union))
         raise SourceError(
             f"unsupported JSONPath union [{inner}] in {iterator!r} (only "
-            "all-quoted-field ['a','b'] or all-index [0,2] unions are "
+            "all-field ['a','b'] / [a,b] or all-index [0,2] unions are "
             "supported; no mixing, no nested expressions)")
     if inner.lstrip("-").isdigit():
         return ("index", int(inner))
@@ -281,16 +289,22 @@ def _parse_bracket(inner: str, iterator: str) -> tuple:
         return ("field", inner[1:-1])  # bracket-quoted field: $['a b']
     if ":" in inner:
         parts = [p.strip() for p in inner.split(":")]
-        if len(parts) == 3 and parts[2] in ("", "1"):
+        step = 1
+        if len(parts) == 3:
+            if parts[2] and (not parts[2].isdigit() or int(parts[2]) < 1):
+                raise SourceError(
+                    f"unsupported JSONPath slice [{inner}] (step < 1 not "
+                    "supported — a distributed read cannot reverse)")
+            step = int(parts[2]) if parts[2] else 1
             parts = parts[:2]
         if len(parts) == 2 and all(
                 p == "" or p.lstrip("-").isdigit() for p in parts):
             a = int(parts[0]) if parts[0] else None
             b = int(parts[1]) if parts[1] else None
-            return ("slice", (a, b))
-        raise SourceError(
-            f"unsupported JSONPath slice [{inner}] (step != 1 not "
-            "supported)")
+            return ("slice", (a, b, step))
+        raise SourceError(f"unsupported JSONPath slice [{inner}]")
+    if _BARE_FIELD_RE.match(inner):
+        return ("field", inner)  # jsonpath_ng bare bracket field: $.a[f]
     raise SourceError(
         f"unsupported JSONPath step [{inner}] in {iterator!r} (nested "
         "expressions are outside the supported subset)")
@@ -299,20 +313,22 @@ def _parse_bracket(inner: str, iterator: str) -> tuple:
 def _parse_jsonpath_steps(iterator: str) -> List[tuple]:
     """Parse the JSONPath subset ``$.a.b[*]``, ``$[*]``, ``$.a[0]``,
     ``$..name`` (recursive descent to a named field), ``$['a b']``
-    (bracket-quoted fields), ``$.a[1:3]`` (slices, step 1), and
-    ``$.a[?(@.f <op> lit)]`` / ``$.a[?(@.f)]`` filter predicates with
-    ``&&``/``||`` connectives ('&&' binds tighter, OR of ANDs),
+    (bracket-quoted fields), ``$.a[1:3]`` / ``$.a[1:9:2]`` (slices,
+    positive step), and ``$.a[?(...)]`` filter predicates — terms
+    ``@.f <op> lit``, ``@.f =~ 'regex'``, ``@.a <op> @.b``, existence
+    ``@.f`` — with ``&&``/``||`` connectives ('&&' binds tighter, OR of
+    ANDs) and parenthesized grouping (distributed to DNF at parse time),
 
     plus field unions ``['a','b']`` and index unions ``[0,2]`` (Python
     negative-index semantics).
 
     Returns list of ("field", name) | ("explode", None) | ("index", i)
-    | ("descend", name) | ("slice", (a, b)) | ("filter", dnf) with
+    | ("descend", name) | ("slice", (a, b, step)) | ("filter", dnf) with
     dnf = ((term, ...), ...) and term = (fields, op, lit)
     | ("union_fields", names) | ("union_indexes", ints).
 
-    Everything outside the subset — parenthesized predicate grouping,
-    mixed field/index unions, stepped slices, wildcard descent ``$..*`` —
+    Everything outside the subset — nested ``[?()]``, negative slice
+    steps, mixed field/index unions, wildcard descent ``$..*`` —
     raises :class:`SourceError` LOUDLY (the reference accepts full
     ``jsonpath_ng`` grammar, pyrml_core.py:886-894; a silent mis-parse
     would drop or misroute rows, so unsupported grammar must never be
@@ -639,10 +655,12 @@ def apply_json_iterator(df: DataFrame, iterator: Optional[str]) -> DataFrame:
                 raise SourceError(
                     "top-level slice '$[a:b]' unsupported: a distributed "
                     "JSON read has no stable element order to slice on")
-            a, b = arg
-            df = df.select(
-                F.explode(_slice_col(F.col("__node__"), a, b))
-                .alias("__node__"))
+            a, b, step = arg
+            sliced = _slice_col(F.col("__node__"), a, b)
+            if step != 1:
+                # Python [a:b:s]: every s-th element of the [a:b] slice
+                sliced = F.filter(sliced, lambda x, i: i % step == 0)
+            df = df.select(F.explode(sliced).alias("__node__"))
             node = F.col("__node__")
         elif kind == "descend":
             df = _apply_descend(df, node, arg)

@@ -111,10 +111,10 @@ def _eval_jsonpath_py(obj, steps: List[tuple]) -> List:
                 if isinstance(n, list) and -len(n) <= arg < len(n):
                     nxt.append(n[arg])
         elif kind == "slice":
-            a, b = arg
+            a, b, s = arg
             for n in nodes:
                 if isinstance(n, list):
-                    nxt.extend(n[a:b])
+                    nxt.extend(n[a:b:s])
         elif kind == "union_fields":
             for n in nodes:
                 if isinstance(n, dict):

@@ -132,7 +132,8 @@ def escape_angle(col: Column) -> Column:
 # transliteration standing in for unidecode (not installed): Latin-1 +
 # Latin-Extended-A + Greek + Cyrillic + Arabic single-char mappings via
 # translate, multi-char expansions (æ→ae, ß→ss, θ→th, ж→zh, ث→th, …) via a
-# replace chain; CJK + Hebrew/Thai/Devanagari (r6) via :func:`cjk_translit`
+# replace chain; CJK + Hebrew/Thai/Devanagari/Georgian/Armenian (r6) via
+# :func:`cjk_translit`
 # below (kana tables, algorithmic Hangul, common-subset pinyin — rare hanzi
 # pass through, the documented remaining gap vs unidecode; the r6 scripts
 # are fully enumerated per script). Greek/Cyrillic/Arabic target strings follow
@@ -308,8 +309,34 @@ _SCRIPT_MAP = {
     "ं": "n", "ः": "h", "ऽ": "'", "।": " ", "॥": " ",
     "०": "0", "१": "1", "२": "2", "३": "3", "४": "4", "५": "5",
     "६": "6", "७": "7", "८": "8", "९": "9",
+    # Georgian (Mkhedruli U+10D0.., national-system romanization; the
+    # aspiration apostrophe washes out in the slug's punctuation strip)
+    "ა": "a", "ბ": "b", "გ": "g", "დ": "d", "ე": "e", "ვ": "v",
+    "ზ": "z", "თ": "t", "ი": "i", "კ": "k", "ლ": "l", "მ": "m",
+    "ნ": "n", "ო": "o", "პ": "p", "ჟ": "zh", "რ": "r", "ს": "s",
+    "ტ": "t", "უ": "u", "ფ": "p", "ქ": "k", "ღ": "gh", "ყ": "q",
+    "შ": "sh", "ჩ": "ch", "ც": "ts", "ძ": "dz", "წ": "ts", "ჭ": "ch",
+    "ხ": "kh", "ჯ": "j", "ჰ": "h", "ჱ": "e", "ჲ": "y", "ჳ": "w",
+    "ჴ": "kh", "ჵ": "o", "ჶ": "f",
+    # Armenian U+0531..U+0587 (both cases → lowercase, the slug
+    # lowercases anyway; և is the ev ligature)
+    "ա": "a", "բ": "b", "գ": "g", "դ": "d", "ե": "e", "զ": "z",
+    "է": "e", "ը": "y", "թ": "t", "ժ": "zh", "ի": "i", "լ": "l",
+    "խ": "kh", "ծ": "ts", "կ": "k", "հ": "h", "ձ": "dz", "ղ": "gh",
+    "ճ": "ch", "մ": "m", "յ": "y", "ն": "n", "շ": "sh", "ո": "o",
+    "չ": "ch", "պ": "p", "ջ": "j", "ռ": "r", "ս": "s", "վ": "v",
+    "տ": "t", "ր": "r", "ց": "ts", "ւ": "w", "փ": "p", "ք": "k",
+    "օ": "o", "ֆ": "f", "և": "ev",
+    "Ա": "a", "Բ": "b", "Գ": "g", "Դ": "d", "Ե": "e", "Զ": "z",
+    "Է": "e", "Ը": "y", "Թ": "t", "Ժ": "zh", "Ի": "i", "Լ": "l",
+    "Խ": "kh", "Ծ": "ts", "Կ": "k", "Հ": "h", "Ձ": "dz", "Ղ": "gh",
+    "Ճ": "ch", "Մ": "m", "Յ": "y", "Ն": "n", "Շ": "sh", "Ո": "o",
+    "Չ": "ch", "Պ": "p", "Ջ": "j", "Ռ": "r", "Ս": "s", "Վ": "v",
+    "Տ": "t", "Ր": "r", "Ց": "ts", "Ւ": "w", "Փ": "p", "Ք": "k",
+    "Օ": "o", "Ֆ": "f",
+    "՚": "'", "՛": "", "՜": "", "՝": "", "՞": "", "՟": "", "ՙ": "'",
 }
-_CJK_GUARD = "[ぁ-ゖァ-ヺ一-鿿가-힣֐-״฀-๛ऀ-ॿ]"
+_CJK_GUARD = "[ぁ-ゖァ-ヺ一-鿿가-힣֐-״฀-๛ऀ-ॿႠ-ჿԱ-֏]"
 
 
 def cjk_translit(col: Column) -> Column:

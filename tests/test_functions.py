@@ -264,6 +264,25 @@ def test_normalize_date_with_lang_locales(spark, reg):
         ("3 يناير 2020", "%d %B %Y", "ar_EG", "2020-01-03"),
         ("3 كانون الثاني 2020", "%d %B %Y", "ar_SY", "2020-01-03"),
         ("الجمعة 12 سبتمبر 2014", "%A %d %B %Y", "ar", "2014-09-12"),
+        # r6 tier 2: cs/hr/fi inflected variants, he/hi RTL+Devanagari
+        # boundaries, vi numbered months, bg with a literal 'г.' suffix
+        # (exercises the literal-text quoting in strptime_to_java)
+        ("3. ledna 2020", "%d. %B %Y", "cs_CZ", "2020-01-03"),
+        ("pátek 3. čvc 2020", "%A %d. %b %Y", "cs", "2020-07-03"),
+        ("3. januar 2020", "%d. %B %Y", "da_DK", "2020-01-03"),
+        ("søndag den 5. december 2021", "%A den %d. %B %Y", "da",
+         "2021-12-05"),
+        ("3. tammikuuta 2020", "%d. %B %Y", "fi_FI", "2020-01-03"),
+        ("maaliskuu 2021", "%B %Y", "fi", "2021-03-01"),
+        ("3 януари 2020 г.", "%d %B %Y г.", "bg_BG", "2020-01-03"),
+        ("3. siječnja 2020.", "%d. %B %Y.", "hr_HR", "2020-01-03"),
+        ("studeni 2021 15", "%B %Y %d", "hr", "2021-11-15"),
+        ("3 ינואר 2020", "%d %B %Y", "he_IL", "2020-01-03"),
+        ("3 जनवरी 2020", "%d %B %Y", "hi_IN", "2020-01-03"),
+        ("सोमवार 12 नवंबर 2018", "%A %d %B %Y", "hi", "2018-11-12"),
+        ("ngày 3 tháng 1 năm 2020", "ngày %d %B năm %Y", "vi_VN",
+         "2020-01-03"),
+        ("3 tháng 11 2020", "%d %B %Y", "vi", "2020-11-03"),
     ]
     for value, fmt, lang, expect in cases:
         got = run1(spark, build(

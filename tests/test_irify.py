@@ -114,3 +114,17 @@ def test_irify_hebrew_thai_devanagari(spark):
     assert got == ["shlvm", "shlvm", "tl_byb_tel_aviv",
                    "krungethph", "123", "nkhr",
                    "nmste", "hindii", "dillii_12"], got
+
+
+def test_irify_georgian_armenian(spark):
+    """r6 tier: Georgian (Mkhedruli, national romanization) and Armenian
+    (both cases; ev ligature) on the same per-char map."""
+    got = vals(spark, "v", [
+        "საქართველო",     # s a k a r t v e l o
+        "თბილისი",        # t b i l i s i
+        "Հայաստան",       # H a y a s t a n
+        "Երևան",          # E r ev a n
+        "ծով 7",          # ts o v + digit
+    ])
+    assert got == ["sakartvelo", "tbilisi", "hayastan",
+                   "erevan", "tsov_7"], got

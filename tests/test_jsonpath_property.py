@@ -43,6 +43,11 @@ _paths = st.one_of(
     st.integers(-7, 7).map(lambda i: f"$.items[{i}]"),
     st.tuples(st.integers(-6, 6), st.integers(-6, 6)).map(
         lambda ab: f"$.items[{ab[0]}:{ab[1]}]"),
+    # r6: positive stepped slices, incl. open ends ('$.arr[::2]')
+    st.tuples(st.integers(-6, 6), st.integers(-6, 6),
+              st.integers(2, 3)).map(
+        lambda abs_: f"$.items[{abs_[0]}:{abs_[1]}:{abs_[2]}]"),
+    st.sampled_from(["$.arr[::2]", "$.arr[1::2]", "$.arr[:4:3]"]),
     st.tuples(st.sampled_from([">", ">=", "<", "<=", "==", "!="]),
               st.integers(-5, 30)).map(
         lambda ol: f"$.items[?(@.v {ol[0]} {ol[1]})]"),
@@ -55,6 +60,11 @@ _paths = st.one_of(
         lambda ix: "$.arr[" + ",".join(map(str, ix)) + "]"),
     st.just("$..id"),
     st.just("$.meta.x"),
+    # r6: bare (unquoted) bracket fields, jsonpath_ng-style
+    st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=3,
+             unique=True).map(
+        lambda fs: "$.meta[" + ",".join(fs) + "]"),
+    st.just("$.meta[y]"),
 )
 
 # predicate terms for connective fuzzing ('&&' binds tighter than '||');
