@@ -31,10 +31,13 @@ N_DOCS = 2_000_000
 
 
 def main() -> None:
+    # batch artifacts ONLY: the sampler calibration pair
+    # (scaling_r6_calibration.json) fixes the during-thresholds and must
+    # not double as evidence
     inputs = sorted(glob.glob(os.path.join(REPO, "BENCH",
-                                           "scaling_r6_*.json")))
+                                           "scaling_r6_batch*.json")))
     if not inputs:
-        raise SystemExit("no BENCH/scaling_r6_*.json artifacts found")
+        raise SystemExit("no BENCH/scaling_r6_batch*.json artifacts found")
     pairs, seen = [], set()
     for path in inputs:
         with open(path, encoding="utf-8") as fh:
@@ -68,11 +71,15 @@ def main() -> None:
                "materialize, single write)",
         "n_docs": N_DOCS,
         "parallelism_ratio": 4.0,
-        "protocol": "alternating caged 1-core vs 4-core pairs, best-of-3 "
-                    "within the 4-core leg, per-leg STREAM bandwidth "
-                    "probes; PRE-REGISTERED rule (committed before runs): "
-                    f"pair contaminated iff either leg's min probe < "
-                    f"{PROBE_EXCLUDE_GBPS} GB/s. Assembled from " +
+        "protocol": "alternating caged 1-core vs 4-core pairs, per-leg "
+                    "STREAM bandwidth probes; PRE-REGISTERED rule "
+                    "(committed before runs): pair contaminated iff "
+                    f"either leg's min sandwich probe < "
+                    f"{PROBE_EXCLUDE_GBPS} GB/s, OR (legs carrying "
+                    "in-leg sampler data, batches >=2) bw_during_min "
+                    "below the committed per-level calibration threshold "
+                    "(0.6 x calibration-pair median; see "
+                    "scaling_r6_calibration.json). Assembled from " +
                     ", ".join(os.path.basename(p) for p in inputs),
         "scaling_efficiency": round(statistics.median(effs), 3),
         "scaling_efficiency_median_all": round(statistics.median(effs), 3),

@@ -45,6 +45,20 @@ AMENDED RULE for batches >= 2: pair CONTAMINATED iff the original
 sandwich rule fires OR either leg's bw_during_min < its level's
 during-threshold. Batch 0/1 pairs keep the original rule (no sampler
 data exists for them); the merge reports medians under both rules.
+
+CALIBRATION FINDING (scaling_r6_calibration.json, 2026-08-18, still
+before any evidence pair ran with sampler data): the calibration pair
+scored 0.91 with both legs at calm wall-time, yet the 1-core leg's
+single-sample MIN read 0.17 GB/s while its neighbors read ~8.9 — the
+sampler process itself can be descheduled mid-pass, stretching dt.
+A single-sample min is therefore instrument noise, not a bandwidth
+reading. FINAL during-rule (fixed here, before any evidence pair):
+a leg is contention-flagged iff >= 2 CONSECUTIVE samples fall below
+its level threshold (real DRAM contention that inflates a leg 1.3-4x
+lasts minutes == many 12 s samples; a scheduling artifact is isolated).
+Thresholds from the calibration medians (0.6 x 8.87 / 0.6 x 9.73):
+    1-core leg: 5.32 GB/s    4-core leg: 5.84 GB/s
+The full sample list ships in every artifact (bw_during_samples).
 """
 
 from __future__ import annotations
@@ -152,7 +166,8 @@ def stop_sampler(proc, path) -> dict:
         return {"bw_during_n": 0}
     return {"bw_during_n": len(samples),
             "bw_during_min_gbps": round(min(samples), 2),
-            "bw_during_med_gbps": round(statistics.median(samples), 2)}
+            "bw_during_med_gbps": round(statistics.median(samples), 2),
+            "bw_during_samples": samples}
 
 _WORKER = r"""
 import json, os, sys, tempfile, time
@@ -255,26 +270,37 @@ def _cage_for(cpus: int) -> str:
     return ",".join(str(c) for c in range(n_host - cpus, n_host))
 
 
-# In-leg thresholds per the pre-registered amendment procedure
-# (0.6 x calibration pair's per-level median in-leg GB/s). None until the
-# calibration artifact is committed; the during-rule is inactive before
-# that, so batch 0/1 pairs are judged by the sandwich rule alone.
-DURING_THRESHOLD_GBPS: dict = {}
+# In-leg thresholds per the pre-registered amendment procedure: 0.6 x the
+# calibration pair's per-level median in-leg GB/s (scaling_r6_calibration
+# .json: 8.87 / 9.73). Fixed before any evidence pair ran with sampler
+# data; batch 0/1 pairs have no sampler fields and keep the sandwich rule.
+DURING_THRESHOLD_GBPS: dict = {1: 5.32, 4: 5.84}
+
+
+def _sustained_low(samples, thr: float) -> bool:
+    """>= 2 CONSECUTIVE samples below thr (see CALIBRATION FINDING: an
+    isolated low sample is sampler descheduling, not DRAM contention)."""
+    run = 0
+    for s in samples:
+        run = run + 1 if s < thr else 0
+        if run >= 2:
+            return True
+    return False
 
 
 def pair_contaminated(pair: dict) -> bool:
     """The pre-registered exclusion rule (see module docstring): either
     leg's min(bw_before, bw_after) below PROBE_EXCLUDE_GBPS, OR — for
-    legs carrying in-leg sampler data and a committed calibration
-    threshold for their level — bw_during_min below that threshold."""
+    legs carrying in-leg sampler data — a sustained (>= 2 consecutive
+    samples) dip below the leg's calibrated during-threshold."""
     for leg in (pair["low"], pair["high"]):
         bws = [leg.get("bw_before_gbps"), leg.get("bw_after_gbps")]
         bws = [b for b in bws if b is not None]
         if bws and min(bws) < PROBE_EXCLUDE_GBPS:
             return True
         thr = DURING_THRESHOLD_GBPS.get(leg.get("cpus"))
-        dmin = leg.get("bw_during_min_gbps")
-        if thr is not None and dmin is not None and dmin < thr:
+        samples = leg.get("bw_during_samples")
+        if thr is not None and samples and _sustained_low(samples, thr):
             return True
     return False
 
