@@ -154,6 +154,15 @@ def test_hash_and_date_functions(spark, reg):
                              (IDLAB + "strDate", F.lit("19191223 1030")),
                              (IDLAB + "pattern", const_lit("%Y%m%d %H%M")))) \
         == "1919-12-23T10:30:00"
+    # literal letters in the pattern must be quoted for java.time — an
+    # unquoted ISO 'T' (or connectives like 'de') is a reserved pattern
+    # letter and used to throw before the r6 tokenizing translation
+    assert strptime_to_java("%Y-%m-%dT%H:%M:%S") == "yyyy-M-d'T'H:m:s"
+    assert run1(spark, build(
+        reg, IDLAB + "normalizeDateTime",
+        (IDLAB + "strDate", F.lit("2020-01-02T10:30:00")),
+        (IDLAB + "pattern", const_lit("%Y-%m-%dT%H:%M:%S")))) \
+        == "2020-01-02T10:30:00"
 
 
 def test_short_uuid_matches_published_algorithm(spark, reg):
