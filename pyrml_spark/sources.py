@@ -70,9 +70,21 @@ def _flatten_struct_cols(df: DataFrame) -> DataFrame:
 
 
 _FILTER_RE = re.compile(
-    r"^@((?:\.[A-Za-z0-9_$\-]+)+)\s*"
+    r"^@((?:\.[A-Za-z0-9_$\-]+(?:\[-?\d+\])*)+)\s*"
     r"(?:(==|=~|=|!=|<=|>=|<|>)\s*(.+?)\s*)?$"
 )
+
+_AT_PATH_RE = re.compile(r"^@((?:\.[A-Za-z0-9_$\-]+(?:\[-?\d+\])*)+)$")
+
+
+def _parse_at_path(dotted: str) -> tuple:
+    """``.a[0].b`` → ("a", 0, "b") — str steps are struct fields, int
+    steps are array indexes (Python negative semantics)."""
+    steps = []
+    for m in re.finditer(r"\.([A-Za-z0-9_$\-]+)((?:\[-?\d+\])*)", dotted):
+        steps.append(m.group(1))
+        steps.extend(int(i) for i in re.findall(r"\[(-?\d+)\]", m.group(2)))
+    return tuple(steps)
 
 # marker for a field-to-field comparison's right-hand side (@.a <op> @.b):
 # carried in the term's `lit` slot as ("__ref__", fields)
@@ -88,7 +100,7 @@ def _parse_filter_term(term: str, inner: str, iterator: str) -> tuple:
             "are '@.field <op> literal|@.field', '@.field =~ 'regex'', or "
             "existence '@.field', joined by '&&'/'||' with parenthesized "
             "grouping; nested [?()] is not supported)")
-    fields = tuple(m.group(1).strip(".").split("."))
+    fields = _parse_at_path(m.group(1))
     op, raw = m.group(2), m.group(3)
     if op is None:
         return (fields, None, None)
@@ -101,12 +113,12 @@ def _parse_filter_term(term: str, inner: str, iterator: str) -> tuple:
             raise SourceError(
                 f"unsupported JSONPath filter [{inner}] in {iterator!r}: "
                 "'=~' needs a quoted regex literal on the right")
-        rm = re.match(r"^@((?:\.[A-Za-z0-9_$\-]+)+)$", raw)
+        rm = _AT_PATH_RE.match(raw)
         if not rm:
             raise SourceError(
                 f"unsupported JSONPath filter rhs {raw!r} in {iterator!r} "
                 "(only a plain '@.field...' path may stand on the right)")
-        lit = (_REF, tuple(rm.group(1).strip(".").split(".")))
+        lit = (_REF, _parse_at_path(rm.group(1)))
     elif op == "=~":
         # quoted ('x') or jsonpath_ng-ext slash-delimited (/x/) pattern.
         # NB: only quotes protect connectives/parens from the term scanner,
@@ -316,7 +328,8 @@ def _parse_jsonpath_steps(iterator: str) -> List[tuple]:
     (bracket-quoted fields), ``$.a[1:3]`` / ``$.a[1:9:2]`` (slices,
     positive step), and ``$.a[?(...)]`` filter predicates — terms
     ``@.f <op> lit``, ``@.f =~ 'regex'``, ``@.a <op> @.b``, existence
-    ``@.f`` — with ``&&``/``||`` connectives ('&&' binds tighter, OR of
+    ``@.f``, with mixed field/index term paths like ``@.f[0].g`` —
+    joined by ``&&``/``||`` connectives ('&&' binds tighter, OR of
     ANDs) and parenthesized grouping (distributed to DNF at parse time),
 
     plus field unions ``['a','b']`` and index unions ``[0,2]`` (Python
@@ -380,13 +393,20 @@ def _parse_jsonpath_steps(iterator: str) -> List[tuple]:
     return steps
 
 
+def _nav_col(base: Column, steps) -> Column:
+    """Walk a mixed field/index path from ``base`` (str → getField,
+    int → Python-semantics array index; out of range → NULL)."""
+    c = base
+    for s in steps:
+        c = _get_idx(c, s) if isinstance(s, int) else c.getField(s)
+    return c
+
+
 def _filter_predicate(fields, op, lit):
     """Element-level predicate builder for ``F.filter`` (closure factory —
     see the arity note on higher-order-function lambdas)."""
     def pred(x: Column) -> Column:
-        c = x
-        for fld in fields:
-            c = c.getField(fld)
+        c = _nav_col(x, fields)
         if op is None:
             return c.isNotNull()
         if lit is None:
@@ -396,9 +416,7 @@ def _filter_predicate(fields, op, lit):
             # jsonpath_ng ext's re.search on the common pattern subset
             return c.rlike(lit)
         if isinstance(lit, tuple) and lit[0] == _REF:
-            lcol = x
-            for fld in lit[1]:
-                lcol = lcol.getField(fld)
+            lcol = _nav_col(x, lit[1])
             # null rhs compares like jsonpath no-match: only != survives
             base = {"==": c == lcol,
                     "!=": (c != lcol) & c.isNotNull() & lcol.isNotNull(),
@@ -422,9 +440,15 @@ def _dnf_elem_pred(dnf, elem_type: T.DataType):
 
 
 def _path_type(dtype: T.DataType, fields) -> Optional[T.DataType]:
-    """Resolved type of ``@.f1.f2...`` through ``dtype``, or None when a
-    step dereferences a non-object / missing field."""
+    """Resolved type of ``@.f1[i].f2...`` through ``dtype``, or None when
+    a step dereferences a non-object (str step) / non-array (int step) or
+    a missing field."""
     for fld in fields:
+        if isinstance(fld, int):
+            if not isinstance(dtype, T.ArrayType):
+                return None
+            dtype = dtype.elementType
+            continue
         if not isinstance(dtype, T.StructType) or fld not in dtype.fieldNames():
             return None
         dtype = dtype[fld].dataType

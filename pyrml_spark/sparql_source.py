@@ -128,7 +128,11 @@ def _eval_jsonpath_py(obj, steps: List[tuple]) -> List:
             def _dig(el, fields):
                 v = el
                 for fld in fields:
-                    v = v.get(fld) if isinstance(v, dict) else None
+                    if isinstance(fld, int):
+                        v = (v[fld] if isinstance(v, list)
+                             and -len(v) <= fld < len(v) else None)
+                    else:
+                        v = v.get(fld) if isinstance(v, dict) else None
                 return v
 
             def _term(el, fields, op, lit):

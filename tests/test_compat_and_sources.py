@@ -248,7 +248,7 @@ def test_jsonpath_unsupported_is_loud(spark, tmp_path):
     for bad in ("$..*", "$.a.", "$..", "$.a[f,0]",  # mixed union
                 "$.a[::-1]",                    # negative slice step
                 "$.a[0:4:0]",                   # zero slice step
-                "$.a[?(@.f[0] > 1)]",           # indexed path inside filter
+                "$.a[?(@.f[1:2] > 1)]",         # slice inside a filter path
                 "$.a[?(@.f =~ /x(y)/)]",        # ')' in a /…/ regex literal
                 "$.a[?(@.f > 1]",               # unbalanced parens
                 "$.a[?(@.f in [1,2])]"):        # unsupported operator

@@ -25,7 +25,8 @@ from pyrml_spark.sparql_source import _eval_jsonpath_py, _flatten
 # leaf values non-null.
 _items = st.lists(
     st.fixed_dictionaries(
-        {"id": st.integers(0, 99), "tag": st.sampled_from("abc")},
+        {"id": st.integers(0, 99), "tag": st.sampled_from("abc"),
+         "xs": st.lists(st.integers(-5, 30), min_size=0, max_size=3)},
         optional={"v": st.integers(-5, 30)},
     ),
     min_size=0, max_size=6,
@@ -81,6 +82,14 @@ _terms = st.one_of(
     st.tuples(st.sampled_from([">", ">=", "<", "<=", "==", "!="]),
               st.sampled_from(["@.id", "@.v"])).map(
         lambda or_: f"@.v {or_[0]} {or_[1]}"),
+    # r6: indexed paths inside filter terms (negatives from the end,
+    # out-of-range → no-match), both as lhs and as @-to-@ rhs
+    st.tuples(st.integers(-4, 4),
+              st.sampled_from([">", "<", "==", "!="]),
+              st.integers(-5, 30)).map(
+        lambda iol: f"@.xs[{iol[0]}] {iol[1]} {iol[2]}"),
+    st.integers(-4, 4).map(lambda i: f"@.xs[{i}]"),
+    st.integers(-4, 4).map(lambda i: f"@.v > @.xs[{i}]"),
 )
 def _join_pred(terms, conns):
     out = [terms[0]]
