@@ -603,6 +603,51 @@ _LOCALE_TABLES = {
         "days": ["सोमवार", "मंगलवार", "बुधवार", "गुरुवार", "शुक्रवार",
                  "शनिवार", "रविवार"],
     },
+    # r6 tier 3 (public CLDR calendar data); lv/lt inflect in dates
+    # (locative/genitive) — variant lists like uk/cs/hr
+    "sl": {
+        "months": ["januar", "februar", "marec", "april", "maj", "junij",
+                   "julij", "avgust", "september", "oktober", "november",
+                   "december"],
+        "months_abbr": ["jan", "feb", "mar", "apr", "maj", "jun", "jul",
+                        "avg", "sep", "okt", "nov", "dec"],
+        "days": ["ponedeljek", "torek", "sreda", "četrtek", "petek",
+                 "sobota", "nedelja"],
+    },
+    "et": {
+        "months": ["jaanuar", "veebruar", "märts", "aprill", "mai",
+                   "juuni", "juuli", "august", "september", "oktoober",
+                   "november", "detsember"],
+        "months_abbr": ["jaan", "veebr", "märts", "apr", "mai", "juuni",
+                        "juuli", "aug", "sept", "okt", "nov", "dets"],
+        "days": ["esmaspäev", "teisipäev", "kolmapäev", "neljapäev",
+                 "reede", "laupäev", "pühapäev"],
+    },
+    "lv": {
+        "months": [["janvārī", "janvāris"], ["februārī", "februāris"],
+                   ["martā", "marts"], ["aprīlī", "aprīlis"],
+                   ["maijā", "maijs"], ["jūnijā", "jūnijs"],
+                   ["jūlijā", "jūlijs"], ["augustā", "augusts"],
+                   ["septembrī", "septembris"], ["oktobrī", "oktobris"],
+                   ["novembrī", "novembris"], ["decembrī", "decembris"]],
+        "months_abbr": ["janv", "febr", "marts", "apr", "maijs", "jūn",
+                        "jūl", "aug", "sept", "okt", "nov", "dec"],
+        "days": ["pirmdiena", "otrdiena", "trešdiena", "ceturtdiena",
+                 "piektdiena", "sestdiena", "svētdiena"],
+    },
+    "lt": {
+        "months": [["sausio", "sausis"], ["vasario", "vasaris"],
+                   ["kovo", "kovas"], ["balandžio", "balandis"],
+                   ["gegužės", "gegužė"], ["birželio", "birželis"],
+                   ["liepos", "liepa"], ["rugpjūčio", "rugpjūtis"],
+                   ["rugsėjo", "rugsėjis"], ["spalio", "spalis"],
+                   ["lapkričio", "lapkritis"], ["gruodžio", "gruodis"]],
+        "months_abbr": ["saus", "vas", "kov", "bal", "geg", "birž",
+                        "liep", "rugp", "rugs", "spal", "lapkr", "gruod"],
+        "days": ["pirmadienis", "antradienis", "trečiadienis",
+                 "ketvirtadienis", "penktadienis", "šeštadienis",
+                 "sekmadienis"],
+    },
     # Vietnamese numbers its months ('tháng 1' … 'tháng 12'); the
     # longest-first replacement keeps 'tháng 1' from eating 'tháng 11'
     "vi": {

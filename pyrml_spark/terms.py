@@ -309,6 +309,21 @@ _SCRIPT_MAP = {
     "ं": "n", "ः": "h", "ऽ": "'", "।": " ", "॥": " ",
     "०": "0", "१": "1", "२": "2", "३": "3", "४": "4", "५": "5",
     "६": "6", "७": "7", "८": "8", "९": "9",
+    # Bengali U+0985.. (structurally parallel to Devanagari: implicit-a
+    # omitted, matras mapped, virama/nukta delete, digits)
+    "অ": "a", "আ": "aa", "ই": "i", "ঈ": "ii", "উ": "u", "ঊ": "uu",
+    "ঋ": "r", "এ": "e", "ঐ": "ai", "ও": "o", "ঔ": "au",
+    "ক": "k", "খ": "kh", "গ": "g", "ঘ": "gh", "ঙ": "ng", "চ": "c",
+    "ছ": "ch", "জ": "j", "ঝ": "jh", "ঞ": "ny", "ট": "tt", "ঠ": "tth",
+    "ড": "dd", "ঢ": "ddh", "ণ": "nn", "ত": "t", "থ": "th", "দ": "d",
+    "ধ": "dh", "ন": "n", "প": "p", "ফ": "ph", "ব": "b", "ভ": "bh",
+    "ম": "m", "য": "y", "র": "r", "ল": "l", "শ": "sh", "ষ": "ss",
+    "স": "s", "হ": "h", "ড়": "rr", "ঢ়": "rh", "য়": "y", "ৎ": "t",
+    "া": "aa", "ি": "i", "ী": "ii", "ু": "u", "ূ": "uu", "ৃ": "r",
+    "ে": "e", "ৈ": "ai", "ো": "o", "ৌ": "au", "্": "", "়": "",
+    "ঁ": "n", "ং": "n", "ঃ": "h", "ঽ": "'",
+    "০": "0", "১": "1", "২": "2", "৩": "3", "৪": "4", "৫": "5",
+    "৬": "6", "৭": "7", "৮": "8", "৯": "9",
     # Georgian (Mkhedruli U+10D0.., national-system romanization; the
     # aspiration apostrophe washes out in the slug's punctuation strip)
     "ა": "a", "ბ": "b", "გ": "g", "დ": "d", "ე": "e", "ვ": "v",
@@ -336,7 +351,7 @@ _SCRIPT_MAP = {
     "Օ": "o", "Ֆ": "f",
     "՚": "'", "՛": "", "՜": "", "՝": "", "՞": "", "՟": "", "ՙ": "'",
 }
-_CJK_GUARD = "[ぁ-ゖァ-ヺ一-鿿가-힣֐-״฀-๛ऀ-ॿႠ-ჿԱ-֏]"
+_CJK_GUARD = "[ぁ-ゖァ-ヺ一-鿿가-힣֐-״฀-๛ऀ-ॿঀ-৿Ⴀ-ჿԱ-֏]"
 
 
 def cjk_translit(col: Column) -> Column:

@@ -292,6 +292,15 @@ def test_normalize_date_with_lang_locales(spark, reg):
         ("ngày 3 tháng 1 năm 2020", "ngày %d %B năm %Y", "vi_VN",
          "2020-01-03"),
         ("3 tháng 11 2020", "%d %B %Y", "vi", "2020-11-03"),
+        # r6 tier 3: sl/et plain, lv locative + 'gada' literal, lt
+        # genitive with literal 'm.'/'d.' era markers
+        ("3. marec 2020", "%d. %B %Y", "sl_SI", "2020-03-03"),
+        ("3. jaanuar 2020", "%d. %B %Y", "et_EE", "2020-01-03"),
+        ("2020. gada 3. janvārī", "%Y. gada %d. %B", "lv_LV",
+         "2020-01-03"),
+        ("marts 2021 15", "%B %Y %d", "lv", "2021-03-15"),
+        ("2020 m. sausio 3 d.", "%Y m. %B %d d.", "lt_LT", "2020-01-03"),
+        ("gruodis 2021 5", "%B %Y %d", "lt", "2021-12-05"),
     ]
     for value, fmt, lang, expect in cases:
         got = run1(spark, build(

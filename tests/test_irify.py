@@ -128,3 +128,14 @@ def test_irify_georgian_armenian(spark):
     ])
     assert got == ["sakartvelo", "tbilisi", "hayastan",
                    "erevan", "tsov_7"], got
+
+
+def test_irify_bengali(spark):
+    """r6 tier: Bengali rides the Devanagari-parallel per-char map
+    (virama/nukta delete, matras mapped, Bengali digits)."""
+    got = vals(spark, "v", [
+        "বাংলা",         # b aa n l aa
+        "ঢাকা ১২",       # ddh aa k aa + digits
+        "ভারত",          # bh aa r t
+    ])
+    assert got == ["baanlaa", "ddhaakaa_12", "bhaart"], got
