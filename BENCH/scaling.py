@@ -157,8 +157,14 @@ def stop_sampler(proc, path) -> dict:
         with open(path, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
-                if line:
+                if not line:
+                    continue
+                try:
                     samples.append(json.loads(line)["gbps"])
+                except (ValueError, KeyError):
+                    # SIGTERM can land mid-write: skip the torn final
+                    # line rather than discard the whole leg
+                    continue
         os.unlink(path)
     except OSError:
         pass

@@ -70,20 +70,17 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every implemented query, KG chain first (window priority)."""
     from pyrml_spark.testdata_rml import RML_QUERIES
 
+    # NO import swallowing: the KG chain is the north rule and the OPS
+    # set is core coverage — a broken transitive import must fail the
+    # driver sweep loudly, not silently shrink the window (the round-5
+    # silent-skip failure mode).
+    from pyrml_spark.kg.entry import KG_QUERIES
+    from pyrml_spark.ops import OPS_QUERIES
+
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    try:
-        from pyrml_spark.kg.entry import KG_QUERIES
-
-        out.update(KG_QUERIES)
-    except ImportError:
-        pass
+    out.update(KG_QUERIES)
     out.update(RML_QUERIES)
-    try:
-        from pyrml_spark.ops import OPS_QUERIES
-
-        out.update(OPS_QUERIES)
-    except ImportError:
-        pass
+    out.update(OPS_QUERIES)
     return out
 
 
@@ -91,20 +88,13 @@ def all_oracle_sql() -> dict[str, str]:
     """Every oracle, same order as all_queries()."""
     from pyrml_spark.testdata_rml import RML_ORACLES
 
+    from pyrml_spark.kg.entry import KG_ORACLES
+    from pyrml_spark.ops import OPS_ORACLES
+
     out: dict[str, str] = {}
-    try:
-        from pyrml_spark.kg.entry import KG_ORACLES
-
-        out.update(KG_ORACLES)
-    except ImportError:
-        pass
+    out.update(KG_ORACLES)
     out.update(RML_ORACLES)
-    try:
-        from pyrml_spark.ops import OPS_ORACLES
-
-        out.update(OPS_ORACLES)
-    except ImportError:
-        pass
+    out.update(OPS_ORACLES)
     return out
 
 
@@ -114,6 +104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per driver query key (omitted ⇒ rows-only)."""
-    keep = queries()
-    return {k: v for k, v in all_oracle_sql().items() if k in keep}
+    """DuckDB-equivalent SQL per driver query key (omitted ⇒ rows-only).
+    Filtering by PYTEST_ONLY is equivalent to key-membership in queries()
+    (oracle keys ⊆ query keys, asserted by test_driver_window) without
+    constructing every query callable a second time."""
+    return {k: v for k, v in all_oracle_sql().items()
+            if k not in PYTEST_ONLY}

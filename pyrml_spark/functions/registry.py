@@ -456,6 +456,7 @@ _LOCALE_TABLES = {
                         "сер", "вер", "жов", "лис", "гру"],
         "days": ["понеділок", "вівторок", "середа", "четвер", "п'ятниця",
                  "субота", "неділя"],
+        "days_abbr": ["пн", "вт", "ср", "чт", "пт", "сб", "нд"],
     },
     "ro": {
         "months": ["ianuarie", "februarie", "martie", "aprilie", "mai",
@@ -474,6 +475,7 @@ _LOCALE_TABLES = {
                         "aug", "szept", "okt", "nov", "dec"],
         "days": ["hétfő", "kedd", "szerda", "csütörtök", "péntek",
                  "szombat", "vasárnap"],
+        "days_abbr": ["H", "K", "Sze", "Cs", "P", "Szo", "V"],
     },
     # Norwegian: month names are identical in bokmål and nynorsk; the days
     # alternation carries BOTH weekday sets (nynorsk måndag/tysdag/laurdag/
@@ -496,6 +498,7 @@ _LOCALE_TABLES = {
                         "ag", "set", "oct", "nov", "des"],
         "days": ["dilluns", "dimarts", "dimecres", "dijous", "divendres",
                  "dissabte", "diumenge"],
+        "days_abbr": ["dl", "dt", "dc", "dj", "dv", "ds", "dg"],
     },
     "id": {
         "months": ["Januari", "Februari", "Maret", "April", "Mei", "Juni",
@@ -521,6 +524,10 @@ _LOCALE_TABLES = {
                         "ديسمبر"],
         "days": ["الاثنين", "الثلاثاء", "الأربعاء", "الخميس", "الجمعة",
                  "السبت", "الأحد"],
+        # Arabic has no standard weekday abbreviations — %a accepts the
+        # full names (a [:3] truncation would strip a garbage prefix)
+        "days_abbr": ["الاثنين", "الثلاثاء", "الأربعاء", "الخميس",
+                      "الجمعة", "السبت", "الأحد"],
     },
     # r6 tier 2 (public CLDR calendar data)
     "cs": {
@@ -534,6 +541,7 @@ _LOCALE_TABLES = {
                         "srp", "zář", "říj", "lis", "pro"],
         "days": ["pondělí", "úterý", "středa", "čtvrtek", "pátek",
                  "sobota", "neděle"],
+        "days_abbr": ["po", "út", "st", "čt", "pá", "so", "ne"],
     },
     "da": {
         "months": ["januar", "februar", "marts", "april", "maj", "juni",
@@ -558,6 +566,7 @@ _LOCALE_TABLES = {
                         "joulu"],
         "days": ["maanantai", "tiistai", "keskiviikko", "torstai",
                  "perjantai", "lauantai", "sunnuntai"],
+        "days_abbr": ["ma", "ti", "ke", "to", "pe", "la", "su"],
     },
     "bg": {
         "months": ["януари", "февруари", "март", "април", "май", "юни",
@@ -567,6 +576,7 @@ _LOCALE_TABLES = {
                         "авг", "сеп", "окт", "ное", "дек"],
         "days": ["понеделник", "вторник", "сряда", "четвъртък", "петък",
                  "събота", "неделя"],
+        "days_abbr": ["пн", "вт", "ср", "чт", "пт", "сб", "нд"],
     },
     # Croatian inflects (genitive in dates) — variant lists like uk/cs
     "hr": {
@@ -593,6 +603,10 @@ _LOCALE_TABLES = {
                         "אוג", "ספט", "אוק", "נוב", "דצמ"],
         "days": ["שני", "שלישי", "רביעי", "חמישי", "שישי", "שבת",
                  "ראשון"],
+        # CLDR he abbreviations are 'יום X׳' forms; %a accepts the bare
+        # full names instead ([:3] truncation would mangle them)
+        "days_abbr": ["שני", "שלישי", "רביעי", "חמישי", "שישי", "שבת",
+                      "ראשון"],
     },
     "hi": {
         "months": ["जनवरी", "फ़रवरी", "मार्च", "अप्रैल", "मई", "जून",
@@ -602,6 +616,7 @@ _LOCALE_TABLES = {
                         "अग", "सित", "अक्टू", "नव", "दिस"],
         "days": ["सोमवार", "मंगलवार", "बुधवार", "गुरुवार", "शुक्रवार",
                  "शनिवार", "रविवार"],
+        "days_abbr": ["सोम", "मंगल", "बुध", "गुरु", "शुक्र", "शनि", "रवि"],
     },
     # r6 tier 3 (public CLDR calendar data); lv/lt inflect in dates
     # (locative/genitive) — variant lists like uk/cs/hr
@@ -622,6 +637,7 @@ _LOCALE_TABLES = {
                         "juuli", "aug", "sept", "okt", "nov", "dets"],
         "days": ["esmaspäev", "teisipäev", "kolmapäev", "neljapäev",
                  "reede", "laupäev", "pühapäev"],
+        "days_abbr": ["E", "T", "K", "N", "R", "L", "P"],
     },
     "lv": {
         "months": [["janvārī", "janvāris"], ["februārī", "februāris"],
@@ -634,6 +650,7 @@ _LOCALE_TABLES = {
                         "jūl", "aug", "sept", "okt", "nov", "dec"],
         "days": ["pirmdiena", "otrdiena", "trešdiena", "ceturtdiena",
                  "piektdiena", "sestdiena", "svētdiena"],
+        "days_abbr": ["pirmd", "otrd", "trešd", "ceturtd", "piektd", "sestd", "svētd"],
     },
     "lt": {
         "months": [["sausio", "sausis"], ["vasario", "vasaris"],
@@ -647,6 +664,7 @@ _LOCALE_TABLES = {
         "days": ["pirmadienis", "antradienis", "trečiadienis",
                  "ketvirtadienis", "penktadienis", "šeštadienis",
                  "sekmadienis"],
+        "days_abbr": ["pr", "an", "tr", "kt", "pn", "št", "sk"],
     },
     # Vietnamese numbers its months ('tháng 1' … 'tháng 12'); the
     # longest-first replacement keeps 'tháng 1' from eating 'tháng 11'
@@ -659,6 +677,7 @@ _LOCALE_TABLES = {
                         "thg 11", "thg 12"],
         "days": ["thứ Hai", "thứ Ba", "thứ Tư", "thứ Năm", "thứ Sáu",
                  "thứ Bảy", "Chủ Nhật"],
+        "days_abbr": ["Th 2", "Th 3", "Th 4", "Th 5", "Th 6", "Th 7", "CN"],
     },
 }
 

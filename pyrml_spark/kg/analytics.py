@@ -93,6 +93,7 @@ def kg_bgp_from_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute variant ``kg_bgp_query`` stays as the self-contained driver
     row). Results are byte-identical to ``kg_bgp_query`` — both check
     against ORACLE_KG_BGP."""
+    import os
     import tempfile
 
     from .entry import kg_pipeline_fused_triples  # lazy: avoid cycle
@@ -101,10 +102,19 @@ def kg_bgp_from_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Connect-safe session identity (no sparkContext): spark.app.id via
     # conf, falling back to the session object id. sf_dir is part of the
     # key — different inputs are different graphs.
+    #
+    # Sink placement: PYRML_KG_SINK_DIR when set (REQUIRED on multi-node
+    # clusters / remote Connect servers — the location must be shared
+    # storage visible to driver AND executors, e.g. s3://...); otherwise
+    # a driver-local tempdir, correct in local mode only. The dir lives
+    # for the process (construct-once/query-many is the point); a real
+    # deployment's sink is a managed table, not a tempdir.
     key = (spark.conf.get("spark.app.id", None) or str(id(spark)), sf_dir)
     path = _SINK_CACHE.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="kg_sink_") + "/triples"
+        base = os.environ.get("PYRML_KG_SINK_DIR")
+        path = (tempfile.mkdtemp(prefix="kg_sink_", dir=base)
+                + "/triples")
         write_triples_table(
             kg_pipeline_fused_triples(spark, sf_dir), path, fmt="parquet")
         _SINK_CACHE[key] = path

@@ -417,7 +417,10 @@ def _filter_predicate(fields, op, lit):
             return c.rlike(lit)
         if isinstance(lit, tuple) and lit[0] == _REF:
             lcol = _nav_col(x, lit[1])
-            # null rhs compares like jsonpath no-match: only != survives
+            # a null/missing rhs is jsonpath no-match: EVERY op (incl.
+            # !=) yields false — mirrors _term in sparql_source's
+            # Python evaluator, which returns False when _dig(rhs) is
+            # None; the isNotNull guards below pin that for !=
             base = {"==": c == lcol,
                     "!=": (c != lcol) & c.isNotNull() & lcol.isNotNull(),
                     "<": c < lcol, "<=": c <= lcol,

@@ -66,11 +66,24 @@ def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     FileSystem handle, which the Connect guard bans). An existing-but-
     empty directory reads as absent, which is exactly right for the gate:
     nothing to dedup against."""
+    from pyspark.errors import AnalysisException
+
     try:
         spark.read.parquet(path).schema
         return True
-    except Exception:
-        return False
+    except AnalysisException as e:
+        # Only the definitive absent-table shapes mean False. Anything
+        # else (auth failure, throttling, corrupt footer) must NOT
+        # silently disable exact_dedup — re-raise so the batch fails
+        # loudly instead of blind-appending duplicates.
+        getter = getattr(e, "getCondition", None) or \
+            getattr(e, "getErrorClass", None)
+        cond = (getter() if getter else None) or ""
+        if cond.startswith("PATH_NOT_FOUND") or \
+                cond.startswith("UNABLE_TO_INFER_SCHEMA") or \
+                "Path does not exist" in str(e):
+            return False
+        raise
 
 
 class StreamSourceLoader(SourceLoader):

@@ -301,6 +301,14 @@ def test_normalize_date_with_lang_locales(spark, reg):
         ("marts 2021 15", "%B %Y %d", "lv", "2021-03-15"),
         ("2020 m. sausio 3 d.", "%Y m. %B %d d.", "lt_LT", "2020-01-03"),
         ("gruodis 2021 5", "%B %Y %d", "lt", "2021-12-05"),
+        # %a abbreviations that a [:3]-of-full-name fallback would get
+        # wrong (code-review r6): explicit CLDR days_abbr tables
+        ("Th 6 12 tháng 9 2014", "%a %d %B %Y", "vi", "2014-09-12"),
+        ("pe 12. syyskuuta 2014", "%a %d. %B %Y", "fi", "2014-09-12"),
+        ("R 12. september 2014", "%a %d. %B %Y", "et", "2014-09-12"),
+        ("piektd. 12. septembrī 2014", "%a %d. %B %Y", "lv",
+         "2014-09-12"),
+        ("الجمعة 12 سبتمبر 2014", "%a %d %B %Y", "ar", "2014-09-12"),
     ]
     for value, fmt, lang, expect in cases:
         got = run1(spark, build(
