@@ -199,9 +199,21 @@ def _strptime_translate(pattern: str, table) -> str:
     out, i, n = [], 0, len(pattern)
     while i < n:
         tok = pattern[i:i + 2]
-        if pattern[i] == "%" and tok in mapping:
-            out.append(mapping[tok])
-            i += 2
+        if pattern[i] == "%":
+            if tok in mapping:
+                out.append(mapping[tok])
+                i += 2
+                continue
+            if len(tok) == 2 and tok[1].isalpha():
+                # Python strptime raises on directives it does not know;
+                # silently quoting '%e' as literal text would mis-parse
+                # (ADVICE r6) — fail loudly like the rest of the grammar.
+                raise ValueError(
+                    f"unsupported strptime directive {tok!r} in "
+                    f"{pattern!r} (supported: "
+                    f"{' '.join(k for k, _ in table)})")
+            out.append("%")  # lone/trailing '%' before a non-letter
+            i += 1
         elif pattern[i] == "'":
             out.append("''")
             i += 1

@@ -113,6 +113,26 @@ def kg_bgp_from_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _SINK_CACHE.get(key)
     if path is None:
         base = os.environ.get("PYRML_KG_SINK_DIR")
+        if base is None:
+            # enforce the docstring's multi-node requirement (ADVICE r6):
+            # a driver-local tempdir is only readable by executors in
+            # local mode — on a real cluster the sink MUST be shared
+            # storage, so refuse to fabricate a silently-wrong path.
+            master = spark.conf.get("spark.master", "") or ""
+            if master and not master.startswith("local"):
+                raise RuntimeError(
+                    f"PYRML_KG_SINK_DIR is unset and spark.master="
+                    f"{master!r} is not local: the default tempdir sink "
+                    "would be a driver-only path invisible to executors. "
+                    "Set PYRML_KG_SINK_DIR to shared storage "
+                    "(s3a://... / hdfs://...).")
+            if not master:
+                import warnings
+                warnings.warn(
+                    "PYRML_KG_SINK_DIR unset and spark.master not "
+                    "visible (Spark Connect?): defaulting to a "
+                    "driver-local tempdir, which is correct only when "
+                    "the server runs in local mode", stacklevel=2)
         path = (tempfile.mkdtemp(prefix="kg_sink_", dir=base)
                 + "/triples")
         write_triples_table(

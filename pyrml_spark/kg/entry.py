@@ -89,6 +89,9 @@ def kg_pipeline_fused_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark)
     mentions = mentions_native(docs)
+    # ungated collect is fine HERE ONLY: _N_DOCS_CHECK bounds the edge set.
+    # Production code must copy run_pipeline_fused (kg/pipeline.py), which
+    # counts the edges BEFORE collecting and falls back to distributed CC.
     rows = [(r["src"], r["dst"]) for r in sameas_candidates(mentions).collect()]
     mapping = spark.createDataFrame(_driver_union_find(rows),
                                     ["entity", "canonical"])

@@ -90,6 +90,40 @@ def _parse_at_path(dotted: str) -> tuple:
 # carried in the term's `lit` slot as ("__ref__", fields)
 _REF = "__ref__"
 
+# '=~' patterns run as Java-regex `rlike` in the Spark evaluator but
+# Python `re.search` in sparql_source._py_pred; the two dialects agree
+# only on a common subset. Constructs OUTSIDE it are rejected at parse
+# time (ADVICE r6) so the same iterator can never filter differently —
+# or throw on only one path — depending on which evaluator runs it:
+#   (?...   other than (?: (?= (?!   — inline flags, named groups,
+#           lookbehind, atomic groups (divergent or one-sided support)
+#   \p \P   unicode property classes (Java-only)
+#   \A \z \Z \G \h \H \v \V \k \R \X  — anchors/escapes whose meaning
+#           or availability differs between the engines
+#   &&      Java character-class intersection (literal in Python)
+#   *+ ++ ?+ }+  possessive quantifiers (Java & only recent Python)
+_REGEX_DIVERGENT_RE = re.compile(
+    r"\(\?(?![:=!])|\\[pPAzZGhHvVkRX]|&&|[*+?}]\+")
+
+
+def _validate_common_regex(pat: str, inner: str, iterator: str) -> None:
+    """Reject '=~' patterns outside the documented Java∩Python subset."""
+    m = _REGEX_DIVERGENT_RE.search(pat)
+    if m:
+        raise SourceError(
+            f"unsupported JSONPath regex {pat!r} in {iterator!r}: "
+            f"{m.group(0)!r} (at {m.start()}) is outside the documented "
+            "Java-regex ∩ Python-re common subset (no inline flags, "
+            "lookbehind, named/atomic groups, \\p classes, '&&' class "
+            "intersection, possessive quantifiers, or \\A/\\z/\\Z/\\G/"
+            "\\h/\\v/\\k/\\R/\\X escapes) — the Spark and endpoint-"
+            "iterator evaluators would disagree on it")
+    try:
+        re.compile(pat)
+    except re.error as e:
+        raise SourceError(
+            f"invalid JSONPath regex {pat!r} in {iterator!r}: {e}") from e
+
 
 def _parse_filter_term(term: str, inner: str, iterator: str) -> tuple:
     """One comparison/existence term → (fields, op, lit)."""
@@ -128,6 +162,7 @@ def _parse_filter_term(term: str, inner: str, iterator: str) -> tuple:
                 f"unsupported JSONPath regex {raw!r} in {iterator!r} "
                 "(the pattern must be a quoted or /slash/ literal)")
         lit = raw[1:-1]
+        _validate_common_regex(lit, inner, iterator)
     elif raw in ("null", "None"):
         lit = None
     elif raw in ("true", "false"):

@@ -80,9 +80,24 @@ def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
             getattr(e, "getErrorClass", None)
         cond = (getter() if getter else None) or ""
         if cond.startswith("PATH_NOT_FOUND") or \
-                cond.startswith("UNABLE_TO_INFER_SCHEMA") or \
                 "Path does not exist" in str(e):
             return False
+        if cond.startswith("UNABLE_TO_INFER_SCHEMA"):
+            # fires BOTH for an empty/metadata-only directory (table truly
+            # absent — dedup base is simply not there yet) and for a
+            # directory holding unreadable data files (a failed earlier
+            # batch's partial write with no valid footer). Distinguish via
+            # a binaryFile listing — DataFrame-pure, Connect-safe, and
+            # Spark's file index already skips _SUCCESS/.hidden files — so
+            # any surviving row is a visible data file parquet could not
+            # read: re-raise rather than blind-append duplicates (ADVICE
+            # r6).
+            n_files = (spark.read.format("binaryFile")
+                       .option("recursiveFileLookup", "true").load(path)
+                       .select("path").limit(1).count())
+            if n_files == 0:
+                return False
+            raise
         raise
 
 

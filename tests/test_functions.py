@@ -333,3 +333,16 @@ def test_normalize_date_with_lang_locales(spark, reg):
               (IDLAB_ + "strDate", F.lit("x")),
               (IDLAB_ + "pattern", const_lit("%d %B %Y")),
               (IDLAB_ + "lang", const_lit("th_TH")))
+
+
+def test_strptime_unknown_directive_raises():
+    """'%' + unknown letter raises (ADVICE r6) — Python strptime rejects
+    unsupported directives, so silently quoting '%e' as literal text
+    would be a silent mis-parse."""
+    import pytest
+
+    for bad in ["%e", "%d %e %Y", "%Q"]:
+        with pytest.raises(ValueError, match="unsupported strptime"):
+            strptime_to_java(bad)
+    # lone '%' before a non-letter / at end stays a literal
+    assert strptime_to_java("%d%%5%") == "d%5%"

@@ -178,3 +178,21 @@ def test_spark_and_python_jsonpath_agree(spark, doc, path):
                 return
             raise
         assert got == _py_nodes(doc, path), (doc, path)
+
+
+def test_regex_filter_divergent_constructs_rejected():
+    """'=~' patterns outside the Java∩Python common subset fail at parse
+    time (ADVICE r6) — the Spark rlike and endpoint re.search evaluators
+    would otherwise disagree (or throw on only one path)."""
+    import pytest
+
+    from pyrml_spark.sources import SourceError, _parse_jsonpath_steps
+
+    for bad in ["(?i)foo", r"\p{L}+", "a&&b", "ab*+", r"\Afoo", "(?<=x)y",
+                "(?P<n>a)", "a[b"]:
+        with pytest.raises(SourceError):
+            _parse_jsonpath_steps(f"$.a[?(@.x =~ '{bad}')]")
+    # the documented subset still parses: groups, lookahead, classes,
+    # bounded quantifiers, alternation, anchors
+    _parse_jsonpath_steps(
+        r"$.a[?(@.x =~ '^(?:ab|c(?=d))[ef-h]{1,3}\d+\w*$')]")

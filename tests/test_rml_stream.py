@@ -288,3 +288,31 @@ def test_hadoop_path_exists(spark, tmp_path):
     # scheme-qualified URI resolves through the same FS machinery
     assert _hadoop_path_exists(spark, "file:" + p)
     assert not _hadoop_path_exists(spark, "file:" + p + ".nope")
+
+
+def test_hadoop_path_exists_empty_vs_corrupt(spark, tmp_path):
+    """UNABLE_TO_INFER_SCHEMA is ambiguous (ADVICE r6): an empty /
+    metadata-only directory means "table absent" (gate may write fresh),
+    but a directory holding an unreadable data file is a partial/corrupt
+    earlier write — the probe must re-raise, never blind-append."""
+    import pytest
+
+    from pyrml_spark.streaming.rml_stream import _hadoop_path_exists
+
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    assert not _hadoop_path_exists(spark, str(empty))
+
+    meta_only = tmp_path / "meta_only"
+    meta_only.mkdir()
+    (meta_only / "_SUCCESS").write_text("")
+    assert not _hadoop_path_exists(spark, str(meta_only))
+
+    # a visible data file parquet cannot read must raise (footer error at
+    # .schema, or the probe's re-raise when only the listing-level
+    # UNABLE_TO_INFER_SCHEMA fires) — never a silent False
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_text("this is not parquet")
+    with pytest.raises(Exception):
+        _hadoop_path_exists(spark, str(corrupt))
