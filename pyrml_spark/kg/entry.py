@@ -306,7 +306,24 @@ SELECT node AS entity, pagerank_fp FROM r2
 """
 
 
-from .analytics import kg_bgp_from_sink, kg_bgp_query, kg_pagerank  # noqa: E402
+# 2-hop path + star through the general BGP compiler (kg/query.py):
+#   ?alias owl:sameAs ?canon . ?doc kg:mentions ?canon . ?doc kg:hasMedia ?media
+ORACLE_KG_2HOP = _GEN_PREFIX + _TRIPLES_CTES + """
+, t AS (
+  SELECT DISTINCT s, p, o FROM (
+    SELECT * FROM rewritten UNION ALL SELECT * FROM sameas
+  )
+)
+SELECT DISTINCT sa.s AS alias, sa.o AS canon, m.s AS doc, h.o AS media
+FROM t sa, t m, t h
+WHERE sa.p = '<http://www.w3.org/2002/07/owl#sameAs>'
+  AND m.p = '<http://kg.ex/p/mentions>' AND m.o = sa.o
+  AND h.p = '<http://kg.ex/p/hasMedia>' AND h.s = m.s
+"""
+
+
+from .analytics import (kg_bgp_from_sink, kg_bgp_query,  # noqa: E402
+                        kg_pagerank, kg_query_2hop)
 
 KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_documents": kg_documents,
@@ -315,9 +332,11 @@ KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pipeline_triples": kg_pipeline_triples,
     "kg_pipeline_fused_triples": kg_pipeline_fused_triples,
     "kg_bgp_query": kg_bgp_query,
+    "kg_query_2hop": kg_query_2hop,
     "kg_pagerank": kg_pagerank,
-    # construct-once/query-many variant — pytest-only (driver window is
-    # full at 50; same oracle as kg_bgp_query, plan-asserted sink scan)
+    # construct-once/query-many sibling of kg_bgp_query — pytest-only
+    # (driver window is full at 50; same oracle, plan-asserted sink scan;
+    # kg_query_2hop keeps the sink-read path in the driver window)
     "kg_bgp_from_sink": kg_bgp_from_sink,
 }
 
@@ -328,6 +347,7 @@ KG_ORACLES: Dict[str, str] = {
     "kg_pipeline_triples": ORACLE_KG_TRIPLES,
     "kg_pipeline_fused_triples": ORACLE_KG_TRIPLES,
     "kg_bgp_query": ORACLE_KG_BGP,
+    "kg_query_2hop": ORACLE_KG_2HOP,
     "kg_pagerank": ORACLE_KG_PAGERANK,
     "kg_bgp_from_sink": ORACLE_KG_BGP,
 }

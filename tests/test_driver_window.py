@@ -21,6 +21,7 @@ KG_CHAIN = [
     "kg_pipeline_triples",
     "kg_pipeline_fused_triples",
     "kg_bgp_query",
+    "kg_query_2hop",
     "kg_pagerank",
 ]
 
