@@ -7,7 +7,16 @@
      "kg_triples_per_sec": N, ...}
 
 Every query is forced end-to-end with the noop sink (full materialization,
-no column-pruned count shortcuts)."""
+no column-pruned count shortcuts).
+
+Co-tenant evidence (VERDICT r6 #2): the shared host bursts 2-4x on memory
+bandwidth, and a bracketing probe cannot see contention that starts and
+ends inside the run. The in-leg sampler from BENCH/scaling.py (one 2x128MB
+multiply pass every ~10 s, one pinned core, ~2% duty cycle) runs for the
+whole bench; its timestamped GB/s samples plus per-rep (t0, sec) records
+in the JSON make any >2 s delta vs the repo calm record classifiable from
+the artifact alone — a slow rep whose window overlaps low-GB/s samples is
+contention, one with calm samples is a real regression."""
 
 from __future__ import annotations
 
@@ -63,6 +72,7 @@ HEADLINE = [
     "ann_lsh_buckets",
     "kg_bgp_query",
     "kg_bgp_from_sink",
+    "kg_query_2hop",
     "kg_pagerank",
 ]
 
@@ -96,9 +106,85 @@ def force(df) -> int:
     return 0
 
 
+def _load_sampler_mod():
+    """BENCH/scaling.py's in-leg bandwidth sampler, loaded by path (BENCH
+    is not a package). Import-try: a bench run must never die because the
+    evidence instrument failed to start."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "scaling.py")
+    spec = importlib.util.spec_from_file_location("_bench_scaling", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def start_bw_sampler(period: float = 10.0):
+    """Start the sampler pinned to the LAST core (bench is uncaged on all
+    32 — unlike scaling legs there is no quiet core, so it shares; the
+    engine's own load depresses readings, which is fine: the samples are
+    a relative trace for classifying bursts, not an idle-calibrated
+    threshold). Returns (proc, path) or (None, None) on any failure."""
+    import subprocess
+    import tempfile as _tf
+
+    try:
+        mod = _load_sampler_mod()
+        fd, path = _tf.mkstemp(prefix="bw_bench_", suffix=".jsonl")
+        os.close(fd)
+        core = str((os.cpu_count() or 32) - 1)
+        proc = subprocess.Popen(
+            ["taskset", "-c", core, sys.executable, "-c", mod._SAMPLER,
+             path, str(period)],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return proc, path
+    except Exception as exc:  # noqa: BLE001 — instrument, not the bench
+        print(f"bw sampler unavailable: {exc}", file=sys.stderr)
+        return None, None
+
+
+def stop_bw_sampler(proc, path) -> dict:
+    """Kill the sampler; return timestamped (t, gbps) samples + summary.
+    Unlike scaling.py's stop_sampler this keeps the timestamps — per-rep
+    t0/sec windows in the JSON are matched against them."""
+    if proc is None:
+        return {"bw_during_n": 0}
+    import subprocess
+
+    proc.terminate()
+    try:
+        proc.wait(timeout=5)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+    samples = []
+    try:
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                    samples.append([rec["t"], rec["gbps"]])
+                except (ValueError, KeyError):
+                    continue  # torn final line under SIGTERM
+        os.unlink(path)
+    except OSError:
+        pass
+    if not samples:
+        return {"bw_during_n": 0}
+    gbps = sorted(g for _, g in samples)
+    return {"bw_during_n": len(samples),
+            "bw_during_min_gbps": gbps[0],
+            "bw_during_med_gbps": gbps[len(gbps) // 2],
+            "bw_samples": samples}
+
+
 def main() -> None:
     from __spark_entry__ import all_queries
 
+    bw_proc, bw_path = start_bw_sampler()
     spark = build_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     qmap = all_queries()
@@ -115,12 +201,14 @@ def main() -> None:
     force(warm)
 
     timings = {}
+    reps = []  # every rep's (t0, sec) window, for bw-sample matching
     for _rep in range(HEADLINE_REPS):
         for name in HEADLINE:
             q = qmap[name]
             t0 = time.time()
             force(q(spark, SF_DIR))
             dt = round(time.time() - t0, 3)
+            reps.append({"q": name, "t0": round(t0, 2), "sec": dt})
             timings[name] = min(timings.get(name, dt), dt)
     total = sum(timings.values())
 
@@ -148,6 +236,7 @@ def main() -> None:
             )
             n_triples = out.count()
             dt = round(time.time() - t0, 3)
+        reps.append({"q": "kg_pipeline", "t0": round(t0, 2), "sec": dt})
         kg_dt = dt if kg_dt is None else min(kg_dt, dt)
     timings["kg_pipeline"] = kg_dt
     total += kg_dt
@@ -168,10 +257,13 @@ def main() -> None:
             )
             n_triples_fused = out.count()
             dt = round(time.time() - t0, 3)
+        reps.append({"q": "kg_pipeline_fused", "t0": round(t0, 2),
+                     "sec": dt})
         kg_fused_dt = dt if kg_fused_dt is None else min(kg_fused_dt, dt)
     timings["kg_pipeline_fused"] = kg_fused_dt
     total += kg_fused_dt
 
+    bw = stop_bw_sampler(bw_proc, bw_path)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline queries + KG pipeline end-to-end",
@@ -186,6 +278,8 @@ def main() -> None:
         "kg_reps": KG_REPS,
         "headline_reps": HEADLINE_REPS,
         "cpus": CPUS,
+        "reps": reps,
+        **bw,
     }))
 
 
