@@ -338,10 +338,11 @@ def _parse_bracket(inner: str, iterator: str) -> tuple:
         parts = [p.strip() for p in inner.split(":")]
         step = 1
         if len(parts) == 3:
-            if parts[2] and (not parts[2].isdigit() or int(parts[2]) < 1):
+            if parts[2] and (not parts[2].lstrip("-").isdigit()
+                             or int(parts[2]) == 0):
                 raise SourceError(
-                    f"unsupported JSONPath slice [{inner}] (step < 1 not "
-                    "supported — a distributed read cannot reverse)")
+                    f"unsupported JSONPath slice [{inner}] (step must be "
+                    "a non-zero integer)")
             step = int(parts[2]) if parts[2] else 1
             parts = parts[:2]
         if len(parts) == 2 and all(
@@ -361,7 +362,8 @@ def _parse_jsonpath_steps(iterator: str) -> List[tuple]:
     """Parse the JSONPath subset ``$.a.b[*]``, ``$[*]``, ``$.a[0]``,
     ``$..name`` (recursive descent to a named field), ``$['a b']``
     (bracket-quoted fields), ``$.a[1:3]`` / ``$.a[1:9:2]`` (slices,
-    positive step), and ``$.a[?(...)]`` filter predicates — terms
+    any non-zero step incl. negative / ``[::-1]`` reversal), and
+    ``$.a[?(...)]`` filter predicates — terms
     ``@.f <op> lit``, ``@.f =~ 'regex'``, ``@.a <op> @.b``, existence
     ``@.f``, with mixed field/index term paths like ``@.f[0].g`` —
     joined by ``&&``/``||`` connectives ('&&' binds tighter, OR of
@@ -375,9 +377,10 @@ def _parse_jsonpath_steps(iterator: str) -> List[tuple]:
     dnf = ((term, ...), ...) and term = (fields, op, lit)
     | ("union_fields", names) | ("union_indexes", ints).
 
-    Everything outside the subset — nested ``[?()]``, negative slice
-    steps, mixed field/index unions, wildcard descent ``$..*`` —
-    raises :class:`SourceError` LOUDLY (the reference accepts full
+    Everything outside the subset — nested ``[?()]``, slices inside
+    filter term paths, mixed field/index unions, wildcard descent
+    ``$..*`` — raises :class:`SourceError` LOUDLY (the reference
+    accepts full
     ``jsonpath_ng`` grammar, pyrml_core.py:886-894; a silent mis-parse
     would drop or misroute rows, so unsupported grammar must never be
     guessed at).
@@ -551,6 +554,33 @@ def _slice_col(col: Column, a: Optional[int], b: Optional[int]) -> Column:
     return F.slice(col, start + F.lit(1), length)
 
 
+def _slice_col_rev(col: Column, a: Optional[int], b: Optional[int],
+                   step: int) -> Column:
+    """Python NEGATIVE-step slice semantics ``x[a:b:s]`` (s < 0) over an
+    array column, all JVM-side: normalize start/stop exactly like
+    ``slice(a, b, s).indices(n)`` (start defaults to n-1, stop to
+    "through index 0", clamps to [-1, n-1]), keep the arithmetic-
+    progression members with an indexed ``F.filter`` (ascending), then
+    ``F.reverse`` restores the descending traversal order."""
+    n = F.size(col)
+    if a is None:
+        start = n - F.lit(1)
+    elif a >= 0:
+        start = F.least(F.lit(a), n - F.lit(1))
+    else:
+        start = F.greatest(n + F.lit(a), F.lit(-1))
+    if b is None:
+        stop = F.lit(-1)
+    elif b >= 0:
+        stop = F.least(F.lit(b), n - F.lit(1))
+    else:
+        stop = F.greatest(n + F.lit(b), F.lit(-1))
+    k = -step
+    kept = F.filter(col, lambda x, i: (i <= start) & (i > stop)
+                    & ((start - i) % k == 0))
+    return F.reverse(kept)
+
+
 def _get_idx(col: Column, i: int) -> Column:
     """Python-semantics array index: negatives count from the end, out of
     range → NULL (``F.get`` stays NULL-safe even under ANSI mode, unlike
@@ -718,10 +748,14 @@ def apply_json_iterator(df: DataFrame, iterator: Optional[str]) -> DataFrame:
                     "top-level slice '$[a:b]' unsupported: a distributed "
                     "JSON read has no stable element order to slice on")
             a, b, step = arg
-            sliced = _slice_col(F.col("__node__"), a, b)
-            if step != 1:
-                # Python [a:b:s]: every s-th element of the [a:b] slice
-                sliced = F.filter(sliced, lambda x, i: i % step == 0)
+            if step > 0:
+                sliced = _slice_col(F.col("__node__"), a, b)
+                if step != 1:
+                    # Python [a:b:s]: every s-th element of [a:b]
+                    sliced = F.filter(sliced,
+                                      lambda x, i: i % step == 0)
+            else:
+                sliced = _slice_col_rev(F.col("__node__"), a, b, step)
             df = df.select(F.explode(sliced).alias("__node__"))
             node = F.col("__node__")
         elif kind == "descend":

@@ -246,7 +246,6 @@ def test_jsonpath_unsupported_is_loud(spark, tmp_path):
     # r6: grouping, =~ regex, and @-to-@ compares moved into the grammar
     # (test_jsonpath_filter_grouping_regex_refs); loud residue shrinks to:
     for bad in ("$..*", "$.a.", "$..", "$.a[f,0]",  # mixed union
-                "$.a[::-1]",                    # negative slice step
                 "$.a[0:4:0]",                   # zero slice step
                 "$.a[?(@.f[1:2] > 1)]",         # slice inside a filter path
                 "$.a[?(@.f =~ /x(y)/)]",        # ')' in a /…/ regex literal
@@ -409,6 +408,15 @@ def test_jsonpath_slices(spark, tmp_path):
     assert vals("$.a[:-3]") == [10, 20]
     assert vals("$.a[1:99]") == [20, 30, 40, 50]  # clamped like Python
     assert vals("$.a[4:2]") == []                 # empty, not an error
+    # r7: negative steps — ORDER-sensitive asserts (the differential
+    # fuzzer compares sorted node sets, so reversal order is pinned here)
+    assert vals("$.a[::-1]") == [50, 40, 30, 20, 10]
+    assert vals("$.a[::-2]") == [50, 30, 10]
+    assert vals("$.a[3::-2]") == [40, 20]
+    assert vals("$.a[:1:-1]") == [50, 40, 30]
+    assert vals("$.a[-1:-4:-1]") == [50, 40, 30]
+    assert vals("$.a[1:3:-1]") == []              # empty like Python
+    assert vals("$.a[99::-2]") == [50, 30, 10]    # clamped like Python
     with pytest.raises(SourceError):
         load_json_source(spark, p, "$[1:3]")      # top-level slice: loud
 

@@ -49,6 +49,13 @@ _paths = st.one_of(
               st.integers(2, 3)).map(
         lambda abs_: f"$.items[{abs_[0]}:{abs_[1]}:{abs_[2]}]"),
     st.sampled_from(["$.arr[::2]", "$.arr[1::2]", "$.arr[:4:3]"]),
+    # r7: negative-step slices (Python reversal semantics)
+    st.tuples(st.integers(-6, 6), st.integers(-6, 6),
+              st.integers(-3, -1)).map(
+        lambda abs_: f"$.items[{abs_[0]}:{abs_[1]}:{abs_[2]}]"),
+    st.sampled_from(["$.arr[::-1]", "$.arr[::-2]", "$.arr[4::-2]",
+                     "$.arr[:1:-1]", "$.arr[-1:-5:-1]",
+                     "$.items[::-1]"]),
     st.tuples(st.sampled_from([">", ">=", "<", "<=", "==", "!="]),
               st.integers(-5, 30)).map(
         lambda ol: f"$.items[?(@.v {ol[0]} {ol[1]})]"),
