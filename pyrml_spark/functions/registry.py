@@ -691,6 +691,61 @@ _LOCALE_TABLES = {
                  "thứ Bảy", "Chủ Nhật"],
         "days_abbr": ["Th 2", "Th 3", "Th 4", "Th 5", "Th 6", "Th 7", "CN"],
     },
+    # r7 tier (public CLDR calendar data). Slovak/Serbian dates use the
+    # genitive (listed first); Serbian carries Cyrillic AND Latin
+    # alternates in one table (both orthographies are standard).
+    "sk": {
+        "months": [["januára", "január"], ["februára", "február"],
+                   ["marca", "marec"], ["apríla", "apríl"],
+                   ["mája", "máj"], ["júna", "jún"], ["júla", "júl"],
+                   ["augusta", "august"], ["septembra", "september"],
+                   ["októbra", "október"], ["novembra", "november"],
+                   ["decembra", "december"]],
+        "months_abbr": ["jan", "feb", "mar", "apr", "máj", "jún", "júl",
+                        "aug", "sep", "okt", "nov", "dec"],
+        "days": ["pondelok", "utorok", "streda", "štvrtok", "piatok",
+                 "sobota", "nedeľa"],
+        "days_abbr": ["po", "ut", "st", "št", "pi", "so", "ne"],
+    },
+    "sr": {
+        "months": [["јануара", "јануар", "januara", "januar"],
+                   ["фебруара", "фебруар", "februara", "februar"],
+                   ["марта", "март", "marta", "mart"],
+                   ["априла", "април", "aprila", "april"],
+                   ["маја", "мај", "maja", "maj"],
+                   ["јуна", "јун", "juna", "jun"],
+                   ["јула", "јул", "jula", "jul"],
+                   ["августа", "август", "avgusta", "avgust"],
+                   ["септембра", "септембар", "septembra", "septembar"],
+                   ["октобра", "октобар", "oktobra", "oktobar"],
+                   ["новембра", "новембар", "novembra", "novembar"],
+                   ["децембра", "децембар", "decembra", "decembar"]],
+        "months_abbr": ["јан", "феб", "мар", "апр", "мај", "јун", "јул",
+                        "авг", "сеп", "окт", "нов", "дец"],
+        "days": ["понедељак", "уторак", "среда", "четвртак", "петак",
+                 "субота", "недеља",
+                 "ponedeljak", "utorak", "sreda", "četvrtak", "petak",
+                 "subota", "nedelja"],
+        "days_abbr": ["пон", "уто", "сре", "чет", "пет", "суб", "нед",
+                      "pon", "uto", "sre", "čet", "pet", "sub", "ned"],
+    },
+    # Thai month names are unambiguous; NOTE the Buddhist-era caveat: a
+    # Thai-language year is often BE (CE+543) and this function does NOT
+    # rescale years — that is the caller's semantic, same as the
+    # reference's OS-locale strptime.
+    "th": {
+        "cjk": True,  # no (?U)\b word boundaries in Thai script either
+        "months": ["มกราคม", "กุมภาพันธ์", "มีนาคม", "เมษายน", "พฤษภาคม",
+                   "มิถุนายน", "กรกฎาคม", "สิงหาคม", "กันยายน", "ตุลาคม",
+                   "พฤศจิกายน", "ธันวาคม"],
+        "months_abbr": ["ม.ค", "ก.พ", "มี.ค", "เม.ย", "พ.ค", "มิ.ย",
+                        "ก.ค", "ส.ค", "ก.ย", "ต.ค", "พ.ย", "ธ.ค"],
+        "days": ["วันจันทร์", "วันอังคาร", "วันพุธ", "วันพฤหัสบดี",
+                 "วันศุกร์", "วันเสาร์", "วันอาทิตย์",
+                 "จันทร์", "อังคาร", "พุธ", "พฤหัสบดี", "ศุกร์", "เสาร์",
+                 "อาทิตย์"],
+        "days_abbr": ["จ.", "อ.", "พ.", "พฤ.", "ศ.", "ส.", "อา."],
+    },
 }
 
 # 'no' (macrolanguage) and 'nn' (nynorsk) share the nb table: identical

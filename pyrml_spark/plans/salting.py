@@ -48,7 +48,19 @@ def salted_join(
 
 def top_heavy_keys(df: DataFrame, key: str, threshold_rows: int) -> List:
     """Diagnostic: keys whose row count exceeds a per-task threshold —
-    candidates for salting. Driver-side list; run on samples at scale."""
+    candidates for salting. Driver-side list; run on SAMPLES at scale:
+    the groupBy's key space is the column's full cardinality, so at
+    100 TB sample first and scale the threshold by the sampled
+    fraction — a heavy key is heavy in any uniform sample::
+
+        frac = 0.001
+        hot = top_heavy_keys(df.sample(frac, seed=7), "domain",
+                             threshold_rows=int(5_000_000 * frac))
+        out = salted_join(df, dims, "domain", "domain",
+                          n_salts=32) if hot else df.join(dims, "domain")
+
+    (AQE's skew-join handles most cases without this; use it for the
+    write-side exchanges AQE does not rebalance.)"""
     return [
         r[key]
         for r in df.groupBy(key)

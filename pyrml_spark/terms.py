@@ -350,8 +350,87 @@ _SCRIPT_MAP = {
     "Տ": "t", "Ր": "r", "Ց": "ts", "Ւ": "w", "Փ": "p", "Ք": "k",
     "Օ": "o", "Ֆ": "f",
     "՚": "'", "՛": "", "՜": "", "՝": "", "՞": "", "՟": "", "ՙ": "'",
+    # r7 — Sinhala (U+0D80.., own layout — NOT ISCII-aligned like the
+    # four blocks derived below): ISO 15919-ish romanization, al-lakuna
+    # (virama) and touching marks delete, prenasalized stops kept as
+    # digraphs
+    "අ": "a", "ආ": "aa", "ඇ": "ae", "ඈ": "aae", "ඉ": "i", "ඊ": "ii",
+    "උ": "u", "ඌ": "uu", "ඍ": "r", "ඎ": "rr", "ඏ": "l", "ඐ": "ll",
+    "එ": "e", "ඒ": "ee", "ඓ": "ai", "ඔ": "o", "ඕ": "oo", "ඖ": "au",
+    "ක": "k", "ඛ": "kh", "ග": "g", "ඝ": "gh", "ඞ": "ng", "ඟ": "ng",
+    "ච": "c", "ඡ": "ch", "ජ": "j", "ඣ": "jh", "ඤ": "ny", "ඥ": "gn",
+    "ඦ": "nj", "ට": "tt", "ඨ": "tth", "ඩ": "dd", "ඪ": "ddh",
+    "ණ": "nn", "ඬ": "nd", "ත": "t", "ථ": "th", "ද": "d", "ධ": "dh",
+    "න": "n", "ඳ": "nd", "ප": "p", "ඵ": "ph", "බ": "b", "භ": "bh",
+    "ම": "m", "ඹ": "mb", "ය": "y", "ර": "r", "ල": "l", "ව": "v",
+    "ශ": "sh", "ෂ": "ss", "ස": "s", "හ": "h", "ළ": "ll", "ෆ": "f",
+    "ා": "aa", "ැ": "ae", "ෑ": "aae", "ි": "i", "ී": "ii", "ු": "u",
+    "ූ": "uu", "ෘ": "r", "ෙ": "e", "ේ": "ee", "ෛ": "ai", "ො": "o",
+    "ෝ": "oo", "ෞ": "au", "ෟ": "l", "ෲ": "rr", "ෳ": "ll", "්": "",
+    "ං": "n", "ඃ": "h", "෴": " ", "ඁ": "n",
+    # Sinhala lith digits U+0DE6..
+    "෦": "0", "෧": "1", "෨": "2", "෩": "3", "෪": "4",
+    "෫": "5", "෬": "6", "෭": "7", "෮": "8", "෯": "9",
 }
-_CJK_GUARD = "[ぁ-ゖァ-ヺ一-鿿가-힣֐-״฀-๛ऀ-ॿঀ-৿Ⴀ-ჿԱ-֏]"
+
+# r7 — Tamil / Telugu / Kannada / Malayalam, DERIVED from the Devanagari
+# entries above: the Indic blocks U+0900-0D7F share one in-block layout
+# by Unicode design (ISCII-1988 heritage — க U+0B95 sits at the same
+# offset 0x15 as क U+0915, matras/virama/digits likewise), so each
+# script's table is the Devanagari romanization re-based onto the target
+# block, restricted to codepoints the target script assigns, plus
+# per-script overrides for the letters Devanagari's table lacks (the
+# ṟ/ḻ/ṉ row, Malayalam chillus, au-length marks, archaic Telugu ṯs/ḏz).
+# Completeness per block (every assigned Lo/Mc/Mn/Nd codepoint mapped or
+# consciously excluded) is pinned by test_irify.py.
+def _derive_brahmic(base: int, overrides: dict) -> dict:
+    import unicodedata
+
+    out: dict = {}
+    for ch, roman in list(_SCRIPT_MAP.items()):
+        if len(ch) != 1:  # decomposed digraph keys (e.g. nukta forms)
+            continue
+        cp = ord(ch)
+        if not (0x0900 <= cp <= 0x0963):  # Devanagari letters/marks only
+            continue                       # (danda/digits handled below)
+        tgt = chr(base + (cp - 0x0900))
+        try:
+            unicodedata.name(tgt)
+        except ValueError:
+            continue                       # offset unassigned in target
+        out[tgt] = roman
+    for i in range(10):                    # digits share offset 0x66..
+        out[chr(base + 0x66 + i)] = str(i)
+    out.update(overrides)
+    return out
+
+
+_SCRIPT_MAP.update(_derive_brahmic(0x0B80, {   # Tamil
+    "ன": "n", "ற": "rr", "ழ": "zh", "ௐ": "om", "ௗ": "au",
+}))
+_SCRIPT_MAP.update(_derive_brahmic(0x0C00, {   # Telugu
+    "ఱ": "rr", "ౘ": "ts", "ౙ": "dz", "ౚ": "rr", "ఴ": "zh",
+    "ౕ": "", "ౖ": "",                      # length marks
+    "ౠ": "r", "ౡ": "l", "ౢ": "l", "ౣ": "ll",
+    "ఀ": "n", "ఄ": "n", "ౝ": "n",  # combining nasals/pollu
+}))
+_SCRIPT_MAP.update(_derive_brahmic(0x0C80, {   # Kannada
+    "ಱ": "rr", "ೞ": "zh",
+    "ೕ": "", "ೖ": "",                      # length marks
+    "ೠ": "r", "ೡ": "l", "ೢ": "l", "ೣ": "ll",
+    "ಀ": "n", "ೝ": "n",          # spacing candrabindu, pollu
+    "ೱ": "h", "ೲ": "h",          # jihvamuliya, upadhmaniya
+}))
+_SCRIPT_MAP.update(_derive_brahmic(0x0D00, {   # Malayalam
+    "ം": "m",                              # anusvara is m-final here
+    "ഩ": "n", "റ": "rr", "ഴ": "zh", "ഺ": "tt",
+    "ൗ": "au", "ൔ": "m", "ൕ": "y", "ൖ": "l",  # au mark + chillu marks
+    "ൺ": "nn", "ൻ": "n", "ർ": "r", "ൽ": "l", "ൾ": "ll", "ൿ": "k",
+    "ൠ": "r", "ൡ": "l", "ൢ": "l", "ൣ": "ll",
+    "ഀ": "n", "ഄ": "n",          # combining/vedic anusvara
+    "഻": "", "ൎ": "r", "ൟ": "ii",  # bar-virama, reph
+}))
+_CJK_GUARD = "[ぁ-ゖァ-ヺ一-鿿가-힣֐-״฀-๛ऀ-ॿঀ-৿஀-෿Ⴀ-ჿԱ-֏]"
 
 
 def cjk_translit(col: Column) -> Column:

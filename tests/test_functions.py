@@ -309,6 +309,16 @@ def test_normalize_date_with_lang_locales(spark, reg):
         ("piektd. 12. septembrī 2014", "%a %d. %B %Y", "lv",
          "2014-09-12"),
         ("الجمعة 12 سبتمبر 2014", "%a %d %B %Y", "ar", "2014-09-12"),
+        # r7 tier: sk genitive, sr in BOTH orthographies (one table),
+        # th full month names (Gregorian year; BE rescale is the
+        # caller's semantic, see the table comment)
+        ("3. marca 2020", "%d. %B %Y", "sk_SK", "2020-03-03"),
+        ("piatok 12. septembra 2014", "%A %d. %B %Y", "sk", "2014-09-12"),
+        ("3. јануара 2020.", "%d. %B %Y.", "sr_RS", "2020-01-03"),
+        ("3. januara 2020.", "%d. %B %Y.", "sr", "2020-01-03"),
+        ("петак 12. децембар 2014", "%A %d. %B %Y", "sr", "2014-12-12"),
+        ("12 กันยายน 2014", "%d %B %Y", "th_TH", "2014-09-12"),
+        ("วันศุกร์ 12 กันยายน 2014", "%A %d %B %Y", "th", "2014-09-12"),
     ]
     for value, fmt, lang, expect in cases:
         got = run1(spark, build(
@@ -332,7 +342,7 @@ def test_normalize_date_with_lang_locales(spark, reg):
         build(reg, IDLAB_ + "normalizeDateWithLang",
               (IDLAB_ + "strDate", F.lit("x")),
               (IDLAB_ + "pattern", const_lit("%d %B %Y")),
-              (IDLAB_ + "lang", const_lit("th_TH")))
+              (IDLAB_ + "lang", const_lit("sw_KE")))  # beyond the 38 keys
 
 
 def test_strptime_unknown_directive_raises():

@@ -139,3 +139,47 @@ def test_irify_bengali(spark):
         "ভারত",          # bh aa r t
     ])
     assert got == ["baanlaa", "ddhaakaa_12", "bhaart"], got
+
+
+def test_irify_south_indic(spark):
+    """r7 tier: Tamil/Telugu/Kannada/Malayalam derived from the
+    Devanagari table via the shared ISCII block layout (+ per-script
+    overrides: the ṟ/ḻ/ṉ row, chillus, length marks); Sinhala by its
+    own hand table. Expected strings follow the house implicit-a-
+    omitted style (क→k), matching the earlier Indic tiers."""
+    got = vals(spark, "v", [
+        "தமிழ் நாடு",        # ta: zh override + matras + virama delete
+        "சென்னை",            # ta: e-matra, ai-matra
+        "తెలుగు భాష",        # te
+        "హైదరాబాద్",         # te: trailing virama deletes
+        "ಕನ್ನಡ ಬೆಂಗಳೂರು",    # kn: anusvara → n
+        "മലയാളം കേരളം",      # ml: anusvara → m (script-specific)
+        "සිංහල කොළඹ",        # si: own layout, mb prenasal
+        "௨௦௨௬",              # ta digits
+        "෧෯",                # si lith digits
+    ])
+    assert got == ["tmizh_naattu", "cennai", "telugu_bhaass",
+                   "haidraabaad", "knndd_benglluuru", "mlyaallm_kerllm",
+                   "sinhl_kollmb", "2026", "19"], got
+
+
+def test_irify_south_indic_block_coverage():
+    """Every assigned Lo/Mc/Mn/Nd codepoint in the five r7 blocks is in
+    the map — the per-script completeness claim, pinned."""
+    import unicodedata
+
+    from pyrml_spark.terms import _SCRIPT_MAP
+
+    for lo, hi in ((0x0B80, 0x0BFF), (0x0C00, 0x0C7F), (0x0C80, 0x0CFF),
+                   (0x0D00, 0x0D7F), (0x0D80, 0x0DFF)):
+        missing = [
+            hex(cp) for cp in range(lo, hi + 1)
+            if unicodedata.category(chr(cp)) in ("Lo", "Mc", "Mn", "Nd")
+            and unicodedata.name(chr(cp), None)
+            and chr(cp) not in _SCRIPT_MAP]
+        assert not missing, (hex(lo), missing)
+        # and every value is plain ASCII (slug-safe)
+        assert all(
+            all(ord(c) < 128 for c in v)
+            for k, v in _SCRIPT_MAP.items()
+            if len(k) == 1 and lo <= ord(k) <= hi)
