@@ -14,8 +14,9 @@ DRIVER WINDOW: the per-round correctness sweep evaluates at most 50
 queries in dict order (round 5 proved this: 22 RML + 28 OPS = exactly 50
 and the 7 kg_* entries merged last were silently skipped). We therefore
 (a) merge the north-rule KG chain FIRST — it must never fall out of the
-window — and (b) keep the driver dict at exactly 50 entries by moving 9
-queries that are subsumed by a stronger sibling row to a pytest-only set
+window — and (b) keep the driver dict at exactly 50 entries by holding 10
+queries out of the window (9 subsumed by a stronger sibling row, plus the
+streaming-ingest kg_stream_triples added after the window filled)
 (still oracle-verified every run by tests/test_oracle_parity.py via
 ``all_queries()`` / ``all_oracle_sql()``).
 """
@@ -51,6 +52,9 @@ from pyspark.sql import DataFrame, SparkSession
 #                            dedup_minhash_lsh (same band→bucket-join
 #                            shape); demoted r7 to make room for
 #                            kg_query_2hop (the general BGP compiler row)
+#   kg_stream_triples      — streaming bronze ingest (availableNow drain
+#                            of the Structured-Streaming KG path) with a
+#                            full SQL oracle; net-new r7 row, window full
 PYTEST_ONLY = frozenset({
     "rml_json_source",
     "rml_csv_source",
@@ -61,6 +65,7 @@ PYTEST_ONLY = frozenset({
     "sample_stratified",
     "kg_bgp_from_sink",
     "dedup_simhash",
+    "kg_stream_triples",
 })
 
 DRIVER_WINDOW = 50

@@ -75,6 +75,32 @@ def kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("s", "p", "o", "g")
 
 
+def kg_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest bronze equality row: the SAME md5-family corpus is
+    written to a temp landing dir and drained through the Structured-
+    Streaming path (read_document_stream → watermarked mention dedup →
+    mention_triples → checkpointed availableNow parquet sink) — the exact
+    production plumbing of streaming/kg_stream.py, including the
+    dropDuplicatesWithinWatermark state bound. The oracle re-derives the
+    three mention-triple families in SQL; DISTINCT at read time is the
+    documented bronze-read contract (append sinks are multiset, the
+    bronze table is a set — streaming/kg_stream.py module docstring)."""
+    from ..streaming.kg_stream import (read_document_stream,
+                                       stream_kg_triples,
+                                       write_triples_stream)
+
+    docs = _docs(spark).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+    base = tempfile.mkdtemp(prefix="kg_stream_entry_")
+    in_dir, out_dir, ckpt = base + "/in", base + "/out", base + "/ckpt"
+    docs.write.mode("overwrite").parquet(in_dir)
+    write_triples_stream(
+        stream_kg_triples(read_document_stream(spark, in_dir)),
+        out_dir, ckpt,
+    ).awaitTermination()
+    return spark.read.parquet(out_dir).select("s", "p", "o", "g").distinct()
+
+
 def kg_pipeline_fused_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fused/throughput assembly against the SAME oracle as the
     checkpointed mode: driver union-find canonicalization (the fused path's
@@ -193,6 +219,31 @@ SELECT doc_id, span_idx, "offset" AS offset, etype, surface FROM mentions
 
 ORACLE_KG_CANONICAL = _GEN_PREFIX + """
 SELECT entity, canonical FROM mapping
+"""
+
+# the three mention-triple families BEFORE canonical rewrite — what the
+# streaming bronze path emits (canonicalization is the scheduled batch
+# stage in the streaming deployment pattern)
+ORACLE_KG_STREAM = _GEN_PREFIX + """
+SELECT DISTINCT s, p, o, g FROM (
+  SELECT '<http://kg.ex/doc/' || doc_id || '>' AS s,
+         '<http://kg.ex/p/mentions>' AS p,
+         '<http://kg.ex/ent/' || etype || '/' || surface || '>' AS o,
+         '<http://kg.ex/graph/mentions>' AS g
+  FROM mentions
+  UNION ALL
+  SELECT '<http://kg.ex/ent/' || etype || '/' || surface || '>',
+         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+         '<http://kg.ex/class/' || upper(substr(etype, 1, 1))
+           || substr(etype, 2) || '>',
+         '<http://kg.ex/graph/mentions>'
+  FROM mentions
+  UNION ALL
+  SELECT '<http://kg.ex/ent/' || etype || '/' || surface || '>',
+         '<http://kg.ex/p/surface>', '"' || surface || '"',
+         '<http://kg.ex/graph/mentions>'
+  FROM mentions
+)
 """
 
 # triple-assembly CTEs shared by the triples oracle and the BGP oracle
@@ -338,6 +389,8 @@ KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (driver window is full at 50; same oracle, plan-asserted sink scan;
     # kg_query_2hop keeps the sink-read path in the driver window)
     "kg_bgp_from_sink": kg_bgp_from_sink,
+    # streaming bronze ingest, pytest-only (window full) — full SQL oracle
+    "kg_stream_triples": kg_stream_triples,
 }
 
 KG_ORACLES: Dict[str, str] = {
@@ -350,4 +403,5 @@ KG_ORACLES: Dict[str, str] = {
     "kg_query_2hop": ORACLE_KG_2HOP,
     "kg_pagerank": ORACLE_KG_PAGERANK,
     "kg_bgp_from_sink": ORACLE_KG_BGP,
+    "kg_stream_triples": ORACLE_KG_STREAM,
 }
