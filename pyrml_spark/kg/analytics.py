@@ -158,6 +158,34 @@ def kg_bgp_from_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bgp_over(_sink_triples(spark, sf_dir))
 
 
+# the driver row for the SPARQL front-end (kg/sparql.py): the familiar
+# mentions/hasMedia/mediaKind star expressed as QUERY TEXT — predicate
+# lists, a prefixed-name vocabulary, and a two-conjunct FILTER whose
+# halves push into different pattern scans (STRSTARTS into mentions,
+# the != into mediaKind).
+SPARQL_MEDIA_QUERY = """
+PREFIX kg: <http://kg.ex/p/>
+SELECT DISTINCT ?doc ?person ?kind WHERE {
+  ?doc kg:mentions ?person ;
+       kg:hasMedia ?media .
+  ?media kg:mediaKind ?kind .
+  FILTER(STRSTARTS(STR(?person), "http://kg.ex/ent/person/")
+         && ?kind != "image")
+}
+"""
+
+
+def kg_sparql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL SELECT text over the materialized sink: parsed by
+    kg/sparql.py, lowered onto the general BGP compiler with a real
+    predicate histogram — the full construct → materialize → query-text
+    path in one driver row."""
+    from .sparql import sparql_select
+
+    return sparql_select(_sink_triples(spark, sf_dir), SPARQL_MEDIA_QUERY,
+                         stats="auto")
+
+
 def kg_query_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver row for the general compiler on a DIFFERENT pattern shape
     (2-hop sameAs→mentions path + hasMedia star), over the materialized

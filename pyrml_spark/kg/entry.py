@@ -372,9 +372,26 @@ WHERE sa.p = '<http://www.w3.org/2002/07/owl#sameAs>'
   AND h.p = '<http://kg.ex/p/hasMedia>' AND h.s = m.s
 """
 
+# the SPARQL front-end driver row (analytics.SPARQL_MEDIA_QUERY): the
+# mentions/hasMedia/mediaKind star with STRSTARTS(person) + kind!="image"
+ORACLE_KG_SPARQL = _GEN_PREFIX + _TRIPLES_CTES + """
+, t AS (
+  SELECT DISTINCT s, p, o FROM (
+    SELECT * FROM rewritten UNION ALL SELECT * FROM sameas
+  )
+)
+SELECT DISTINCT m.s AS doc, m.o AS person, k.o AS kind
+FROM t m, t h, t k
+WHERE m.p = '<http://kg.ex/p/mentions>'
+  AND m.o LIKE '<http://kg.ex/ent/person/%'
+  AND h.p = '<http://kg.ex/p/hasMedia>' AND h.s = m.s
+  AND k.p = '<http://kg.ex/p/mediaKind>' AND k.s = h.o
+  AND k.o <> '"image"'
+"""
+
 
 from .analytics import (kg_bgp_from_sink, kg_bgp_query,  # noqa: E402
-                        kg_pagerank, kg_query_2hop)
+                        kg_pagerank, kg_query_2hop, kg_sparql_query)
 
 KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_documents": kg_documents,
@@ -382,6 +399,12 @@ KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_canonical_mapping": kg_canonical_mapping,
     "kg_pipeline_triples": kg_pipeline_triples,
     "kg_pipeline_fused_triples": kg_pipeline_fused_triples,
+    # SPARQL SELECT text → kg/sparql.py parser → general BGP compiler:
+    # replaces kg_bgp_query in the driver window r7 (that row's pattern
+    # JOIN shape stays driver-covered via kg_query_2hop, its oracle via
+    # kg_bgp_from_sink + the local sweep; this row adds a NEW oracle
+    # shape plus the query-text surface)
+    "kg_sparql_query": kg_sparql_query,
     "kg_bgp_query": kg_bgp_query,
     "kg_query_2hop": kg_query_2hop,
     "kg_pagerank": kg_pagerank,
@@ -399,6 +422,7 @@ KG_ORACLES: Dict[str, str] = {
     "kg_canonical_mapping": ORACLE_KG_CANONICAL,
     "kg_pipeline_triples": ORACLE_KG_TRIPLES,
     "kg_pipeline_fused_triples": ORACLE_KG_TRIPLES,
+    "kg_sparql_query": ORACLE_KG_SPARQL,
     "kg_bgp_query": ORACLE_KG_BGP,
     "kg_query_2hop": ORACLE_KG_2HOP,
     "kg_pagerank": ORACLE_KG_PAGERANK,

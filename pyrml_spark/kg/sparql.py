@@ -1,0 +1,729 @@
+"""SPARQL SELECT front-end over the BGP compiler (``kg/query.py``) — a
+textual query surface for the constructed graph, completing the
+construct → materialize → **query** story of the north rule.
+
+The reference engine has no query language at all (it only serializes
+graphs — rdflib ``Dataset.serialize``, pyrml_mapper.py:137-140); this is
+new, Spark-first design: the parser lowers a documented SPARQL subset
+onto :func:`pyrml_spark.kg.query.kg_query`, so execution inherits the
+compiler's predicate-pruned scans, selectivity-ordered shared-variable
+equi-joins, and scan-level FILTER pushdown — nothing here touches a row.
+
+Supported subset (everything else raises :class:`SPARQLUnsupportedError`
+at parse time — loud, never a silent approximation):
+
+* ``PREFIX`` / ``BASE`` prologue; prefixed names anywhere an IRI goes.
+* ``SELECT [DISTINCT|REDUCED] ?v ... | *`` — plain variables only.
+  ``REDUCED`` runs as the bag (returning duplicates is conformant:
+  REDUCED *permits* but does not require elimination).
+* ``WHERE { ... }`` with triple patterns, ``;`` predicate lists, ``,``
+  object lists, ``a`` for rdf:type, and ``FILTER(...)``.
+* Terms: ``?var``, ``<iri>``, ``pfx:local``, ``"lit"``, ``"lit"@lang``,
+  ``"lit"^^dt``, integer/decimal/double shorthand (typed per the XSD
+  rules SPARQL gives numeric tokens). Constants are rendered to the
+  engine's N-Triples term encoding — the triples table's native column
+  format — so matching is exact string equality at the scan.
+* ``FILTER`` expressions: ``&&  ||  !  ( )``, comparisons
+  ``= != < > <= >=``, and the functions ``STR LANG REGEX STRSTARTS
+  STRENDS CONTAINS STRLEN isIRI isURI isLiteral isBlank``.
+* ``ORDER BY [ASC|DESC](?v) ...``, ``LIMIT n``, ``OFFSET n``.
+
+FILTER semantics (documented, SPARQL-faithful where it matters):
+
+* ``=`` / ``!=`` against a term constant compare the full **encoded**
+  term — SPARQL term equality (``"x"`` ≠ ``"x"@en`` ≠ ``"x"^^xsd:y``,
+  exactly as RDF says).
+* ``< > <= >=`` with a numeric operand compare **values**: the
+  variable's lexical form is cast to DOUBLE; a non-numeric term casts
+  to NULL, the comparison is not true, and the row drops — which is
+  precisely SPARQL's type-error-eliminates-the-row rule. With a string
+  operand the comparison is codepoint order on the lexical form (the
+  simple-literal case of SPARQL's operator table).
+* String functions operate on the **lexical form** (``STR`` semantics:
+  IRIs lose their brackets, literals lose quotes/lang/datatype and
+  their ``\\``-escapes are undone). A bare variable where SPARQL wants
+  a string is auto-coerced through ``STR`` — a documented convenience
+  superset, never a different answer for a query SPARQL accepts.
+* ``REGEX`` runs as Spark ``rlike`` (Java regex — the closest engine to
+  the XPath dialect SPARQL specifies); the optional ``"i"`` flag maps
+  to an inline ``(?i)``. Other flags are rejected.
+
+``LIMIT`` without ``ORDER BY`` over all output columns is accepted (it
+is valid SPARQL — any n rows satisfy it) but the choice of rows is then
+plan-dependent, same as any engine.
+
+Scale notes: the heavy lifting is all in ``kg_query`` (see its module
+docstring for the 100 TB story). ``ORDER BY`` adds one total sort of the
+final projection — a range-partitioned exchange on already-distinct
+output, the standard top-k shape when combined with LIMIT (Spark rewrites
+sort+limit to TakeOrderedAndProject, no full sort materialized).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+from urllib.parse import urljoin
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .query import BGPError, kg_query
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+
+class SPARQLError(ValueError):
+    """Malformed query text (lex/parse failure)."""
+
+
+class SPARQLUnsupportedError(SPARQLError):
+    """Syntactically-recognized construct outside the documented subset."""
+
+
+# ---------------------------------------------------------------- lexer
+
+_KEYWORDS = {
+    "select", "distinct", "reduced", "where", "filter", "prefix", "base",
+    "order", "by", "limit", "offset", "asc", "desc", "a",
+}
+# recognized-and-rejected: name the construct in the error instead of a
+# generic parse failure (these are the SPARQL features OUTSIDE the subset)
+_UNSUPPORTED_KEYWORDS = {
+    "optional", "union", "minus", "graph", "bind", "values", "service",
+    "exists", "not", "ask", "construct", "describe", "having", "group",
+    "count", "sum", "avg", "min", "max", "sample", "group_concat",
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<WS>\s+|\#[^\n]*)
+    | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
+    | (?P<STRING>"(?:[^"\\\n]|\\.)*"
+        (?:@[A-Za-z]+(?:-[A-Za-z0-9]+)*
+         |\^\^(?:<[^<>"{}|^`\\\s]*>|[A-Za-z_][\w.-]*:[\w.-]*))?)
+    | (?P<VAR>\?[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_.-]*)?:[A-Za-z0-9_.%-]*)
+    | (?P<NUMBER>[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?
+                      |\d+[eE][+-]?\d+
+                      |\d+))
+    | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,=<>!*\[\]/|^+])
+    """,
+    re.X,
+)
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def _lex(query: str) -> List[_Tok]:
+    toks: List[_Tok] = []
+    i, n = 0, len(query)
+    while i < n:
+        m = _TOKEN_RE.match(query, i)
+        if not m:
+            raise SPARQLError(
+                f"cannot tokenize SPARQL at offset {i}: {query[i:i+20]!r}")
+        i = m.end()
+        kind = m.lastgroup or ""
+        if kind == "WS":
+            continue
+        toks.append(_Tok(kind, m.group(), m.start()))
+    toks.append(_Tok("EOF", "", n))
+    return toks
+
+
+# --------------------------------------------------------------- parser
+
+
+@dataclass
+class ParsedQuery:
+    """Inspectable parse result — everything ``sparql_select`` hands to
+    the BGP compiler, plus the solution modifiers it applies itself."""
+    select_vars: Optional[List[str]]        # None == SELECT *
+    distinct: bool
+    patterns: List[Tuple[str, str, str]]    # kg_query pattern terms
+    filters: List[str]                      # translated SQL expressions
+    order_by: List[Tuple[str, bool]] = field(default_factory=list)  # (var, asc)
+    limit: Optional[int] = None
+    offset: Optional[int] = None
+
+
+class _Parser:
+    def __init__(self, query: str):
+        self.toks = _lex(query)
+        self.i = 0
+        self.prefixes: Dict[str, str] = {}
+        self.base: Optional[str] = None
+        self.vars_seen: List[str] = []
+
+    # -- token helpers ----------------------------------------------
+    def peek(self) -> _Tok:
+        return self.toks[self.i]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *words: str) -> bool:
+        t = self.peek()
+        return t.kind == "NAME" and t.text.lower() in words
+
+    def expect_kw(self, word: str) -> None:
+        t = self.next()
+        if t.kind != "NAME" or t.text.lower() != word:
+            raise SPARQLError(f"expected {word.upper()} at offset {t.pos}, "
+                              f"got {t.text!r}")
+
+    def expect_op(self, op: str) -> None:
+        t = self.next()
+        if t.kind != "OP" or t.text != op:
+            raise SPARQLError(f"expected {op!r} at offset {t.pos}, "
+                              f"got {t.text!r}")
+
+    def _reject_unsupported(self, t: _Tok) -> None:
+        if t.kind == "NAME" and t.text.lower() in _UNSUPPORTED_KEYWORDS:
+            raise SPARQLUnsupportedError(
+                f"{t.text.upper()} (offset {t.pos}) is outside the "
+                "supported SPARQL subset (BGP + FILTER + ORDER/LIMIT/"
+                "OFFSET; no OPTIONAL/UNION/MINUS/GRAPH/BIND/VALUES/"
+                "aggregates/subqueries/property paths)")
+
+    # -- terms -------------------------------------------------------
+    def _expand_pname(self, text: str, pos: int) -> str:
+        pfx, _, local = text.partition(":")
+        if pfx not in self.prefixes:
+            raise SPARQLError(f"undeclared prefix {pfx!r}: at offset {pos}")
+        return f"<{self.prefixes[pfx]}{local}>"
+
+    def _resolve_iriref(self, text: str) -> str:
+        iri = text[1:-1]
+        if self.base is not None:
+            iri = urljoin(self.base, iri)
+        elif not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+            raise SPARQLError(
+                f"relative IRI <{iri}> without a BASE declaration")
+        return f"<{iri}>"
+
+    def _string_term(self, text: str) -> str:
+        """SPARQL string literal (+ optional @lang / ^^dt) → the engine's
+        encoded term. xsd:string collapses to the plain form, matching
+        the writer (terms.py: plain and xsd:string render identically)."""
+        m = re.match(r'^("(?:[^"\\\n]|\\.)*")(@[A-Za-z0-9-]+|\^\^.+)?$',
+                     text)
+        assert m, text  # the lexer only emits this shape
+        quoted, suffix = m.group(1), m.group(2)
+        if not suffix:
+            return quoted
+        if suffix.startswith("@"):
+            return quoted + suffix
+        dt = suffix[2:]
+        dt_iri = (self._resolve_iriref(dt) if dt.startswith("<")
+                  else self._expand_pname(dt, 0))
+        if dt_iri == f"<{XSD}string>":
+            return quoted
+        return f"{quoted}^^{dt_iri}"
+
+    @staticmethod
+    def _number_term(text: str) -> str:
+        if re.fullmatch(r"[+-]?\d+", text):
+            dt = "integer"
+        elif "e" in text.lower():
+            dt = "double"
+        else:
+            dt = "decimal"
+        return f'"{text}"^^<{XSD}{dt}>'
+
+    def _term(self, position: str) -> str:
+        """One pattern term → a kg_query term string (?var or encoded
+        constant)."""
+        t = self.next()
+        self._reject_unsupported(t)
+        if t.kind == "VAR":
+            v = t.text[1:]
+            if v not in self.vars_seen:
+                self.vars_seen.append(v)
+            return t.text
+        if t.kind == "IRIREF":
+            return self._resolve_iriref(t.text)
+        if t.kind == "PNAME":
+            return self._expand_pname(t.text, t.pos)
+        if t.kind == "NAME" and t.text == "a" and position == "predicate":
+            return RDF_TYPE
+        if position == "predicate" and t.kind == "OP" and t.text in "/|^*+?":
+            raise SPARQLUnsupportedError(
+                f"property path operator {t.text!r} at offset {t.pos} "
+                "is outside the supported subset")
+        if position != "predicate":
+            if t.kind == "STRING":
+                return self._string_term(t.text)
+            if t.kind == "NUMBER":
+                return self._number_term(t.text)
+            if t.kind == "OP" and t.text == "[":
+                raise SPARQLUnsupportedError(
+                    f"blank node syntax at offset {t.pos} is outside "
+                    "the supported subset")
+        raise SPARQLError(
+            f"unexpected {t.text!r} in {position} position at offset "
+            f"{t.pos}")
+
+    # -- query -------------------------------------------------------
+    def parse(self) -> ParsedQuery:
+        while self.at_kw("prefix", "base"):
+            kw = self.next().text.lower()
+            if kw == "prefix":
+                pn = self.next()
+                if pn.kind != "PNAME" or not pn.text.endswith(":"):
+                    raise SPARQLError(
+                        f"expected 'pfx:' after PREFIX at offset {pn.pos}")
+                iri = self.next()
+                if iri.kind != "IRIREF":
+                    raise SPARQLError(
+                        f"expected <iri> after PREFIX at offset {iri.pos}")
+                self.prefixes[pn.text[:-1]] = iri.text[1:-1]
+            else:
+                iri = self.next()
+                if iri.kind != "IRIREF":
+                    raise SPARQLError(
+                        f"expected <iri> after BASE at offset {iri.pos}")
+                self.base = iri.text[1:-1]
+
+        self._reject_unsupported(self.peek())
+        self.expect_kw("select")
+        distinct = False
+        if self.at_kw("distinct"):
+            self.next()
+            distinct = True
+        elif self.at_kw("reduced"):
+            self.next()  # bag is a conformant REDUCED answer
+
+        select_vars: Optional[List[str]] = None
+        if self.peek().kind == "OP" and self.peek().text == "*":
+            self.next()
+        else:
+            select_vars = []
+            while self.peek().kind == "VAR":
+                select_vars.append(self.next().text[1:])
+            if not select_vars:
+                t = self.peek()
+                self._reject_unsupported(t)
+                if t.kind == "OP" and t.text == "(":
+                    raise SPARQLUnsupportedError(
+                        f"SELECT expressions at offset {t.pos} are "
+                        "outside the supported subset (plain variables "
+                        "or * only)")
+                raise SPARQLError(
+                    f"expected ?var or * after SELECT at offset {t.pos}")
+
+        if self.at_kw("where"):
+            self.next()
+        self.expect_op("{")
+        patterns, filters = self._group()
+        order_by = self._order_by()
+        limit = offset = None
+        while self.at_kw("limit", "offset"):
+            kw = self.next().text.lower()
+            t = self.next()
+            if t.kind != "NUMBER" or not re.fullmatch(r"\d+", t.text):
+                raise SPARQLError(
+                    f"expected non-negative integer after {kw.upper()} "
+                    f"at offset {t.pos}")
+            if kw == "limit":
+                limit = int(t.text)
+            else:
+                offset = int(t.text)
+        t = self.next()
+        if t.kind != "EOF":
+            self._reject_unsupported(t)
+            raise SPARQLError(
+                f"trailing content at offset {t.pos}: {t.text!r}")
+        return ParsedQuery(select_vars=select_vars, distinct=distinct,
+                           patterns=patterns, filters=filters,
+                           order_by=order_by, limit=limit, offset=offset)
+
+    def _group(self) -> Tuple[List[Tuple[str, str, str]], List[str]]:
+        patterns: List[Tuple[str, str, str]] = []
+        filters: List[str] = []
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.text == "}":
+                self.next()
+                return patterns, filters
+            if t.kind == "EOF":
+                raise SPARQLError("unterminated WHERE group (missing '}')")
+            if t.kind == "OP" and t.text == ".":
+                self.next()
+                continue
+            if self.at_kw("filter"):
+                self.next()
+                filters.extend(self._filter_exprs())
+                continue
+            self._reject_unsupported(t)
+            if t.kind == "OP" and t.text == "{":
+                raise SPARQLUnsupportedError(
+                    f"nested group at offset {t.pos} is outside the "
+                    "supported subset")
+            subj = self._term("subject")
+            while True:  # verb objectList (';' verb objectList)*
+                pred = self._term("predicate")
+                nxt = self.peek()
+                if nxt.kind == "OP" and nxt.text in "/|^*+":
+                    raise SPARQLUnsupportedError(
+                        f"property path operator {nxt.text!r} at offset "
+                        f"{nxt.pos} is outside the supported subset")
+                while True:  # object (',' object)*
+                    obj = self._term("object")
+                    patterns.append((subj, pred, obj))
+                    if self.peek().kind == "OP" and self.peek().text == ",":
+                        self.next()
+                        continue
+                    break
+                if self.peek().kind == "OP" and self.peek().text == ";":
+                    self.next()
+                    # "s p o ; ." — dangling ; before the block end is legal
+                    if self.peek().kind == "OP" and self.peek().text in ".}":
+                        break
+                    continue
+                break
+
+    def _order_by(self) -> List[Tuple[str, bool]]:
+        if not self.at_kw("order"):
+            return []
+        self.next()
+        self.expect_kw("by")
+        conds: List[Tuple[str, bool]] = []
+        while True:
+            t = self.peek()
+            asc = True
+            if t.kind == "NAME" and t.text.lower() in ("asc", "desc"):
+                asc = self.next().text.lower() == "asc"
+                self.expect_op("(")
+                v = self.next()
+                if v.kind != "VAR":
+                    raise SPARQLUnsupportedError(
+                        f"ORDER BY expressions at offset {v.pos} are "
+                        "outside the supported subset (variables only)")
+                self.expect_op(")")
+                conds.append((v.text[1:], asc))
+            elif t.kind == "VAR":
+                conds.append((self.next().text[1:], asc))
+            else:
+                break
+        if not conds:
+            raise SPARQLError("ORDER BY with no sort conditions")
+        return conds
+
+    # -- FILTER expression → SQL over variable columns ---------------
+    #
+    # Emitted SQL is assembled only from validated fragments: variable
+    # names ([A-Za-z_]\w*, become column refs), SQL-escaped string
+    # constants, numeric tokens, and fixed operator/function templates —
+    # a user query can never smuggle raw SQL through.
+
+    def _filter_exprs(self) -> List[str]:
+        """One FILTER clause → one-or-more SQL expressions: a top-level
+        conjunction splits into independent filters (``FILTER(A && B)``
+        ≡ ``FILTER(A) FILTER(B)`` in SPARQL), so each conjunct gets the
+        BGP compiler's per-pattern scan pushdown on its own variable set
+        instead of the whole clause waiting for the join that binds the
+        union of them."""
+        self.expect_op("(")
+        parts = self._and_parts()
+        if self.peek().kind == "OP" and self.peek().text == "||":
+            first = (parts[0] if len(parts) == 1
+                     else "(" + " AND ".join(parts) + ")")
+            ors = [first]
+            while self.peek().kind == "OP" and self.peek().text == "||":
+                self.next()
+                ors.append(self._and_expr())
+            parts = ["(" + " OR ".join(ors) + ")"]
+        self.expect_op(")")
+        return parts
+
+    def _or_expr(self) -> str:
+        parts = [self._and_expr()]
+        while self.peek().kind == "OP" and self.peek().text == "||":
+            self.next()
+            parts.append(self._and_expr())
+        return parts[0] if len(parts) == 1 else "(" + " OR ".join(parts) + ")"
+
+    def _and_parts(self) -> List[str]:
+        parts = [self._unary_expr()]
+        while self.peek().kind == "OP" and self.peek().text == "&&":
+            self.next()
+            parts.append(self._unary_expr())
+        return parts
+
+    def _and_expr(self) -> str:
+        parts = self._and_parts()
+        return (parts[0] if len(parts) == 1
+                else "(" + " AND ".join(parts) + ")")
+
+    def _unary_expr(self) -> str:
+        t = self.peek()
+        if t.kind == "OP" and t.text == "!":
+            self.next()
+            return f"(NOT {self._unary_expr()})"
+        if t.kind == "OP" and t.text == "(":
+            self.next()
+            inner = self._or_expr()
+            self.expect_op(")")
+            return f"({inner})"
+        return self._comparison()
+
+    # operand forms a comparison side can take
+    _NUMERIC = "num"       # SQL numeric constant
+    _TERM = "term"         # an ENCODED term constant (IRI or literal)
+    _VAR = "var"           # encoded-term column
+    _LEX = "lex"           # SQL expression producing a lexical form
+    _BOOL = "bool"         # complete boolean SQL
+
+    def _comparison(self) -> str:
+        lhs = self._operand()
+        t = self.peek()
+        ops = {"=": "=", "!=": "<>", "<": "<", ">": ">",
+               "<=": "<=", ">=": ">="}
+        if not (t.kind == "OP" and t.text in ops):
+            if lhs[0] == self._BOOL:
+                return lhs[1]
+            raise SPARQLError(
+                f"expected comparison operator at offset {t.pos} "
+                f"(bare term {lhs[1]!r} is not a boolean)")
+        op = ops[self.next().text]
+        rhs = self._operand()
+        return self._emit_compare(lhs, op, rhs, t.pos)
+
+    def _emit_compare(self, lhs, op, rhs, pos) -> str:
+        lk, lv = lhs
+        rk, rv = rhs
+        if self._BOOL in (lk, rk):
+            raise SPARQLError(
+                f"boolean expression used as comparison operand at "
+                f"offset {pos}")
+        if op in ("=", "<>"):
+            # term equality on whatever representation both sides share:
+            # var-to-var / var-to-term compare ENCODED terms ("x" ≠
+            # "x"@en — RDF term equality); anything involving a lexical
+            # (STR(), a function result) compares lexical forms.
+            if {lk, rk} <= {self._VAR, self._TERM}:
+                return (f"({self._as_encoded(lhs)} {op} "
+                        f"{self._as_encoded(rhs)})")
+            l_sql = self._as_lexical(lhs)
+            r_sql = self._as_lexical(rhs)
+            return f"({l_sql} {op} {r_sql})"
+        # ordering comparison: numeric if either side is numeric
+        # (SPARQL operator dispatch), else codepoint order on lexicals.
+        # TRY_CAST, not CAST: Spark 4 runs ANSI mode, where a malformed
+        # CAST throws — SPARQL says a type error makes the comparison
+        # unsatisfied and drops the row, which is exactly TRY_CAST's
+        # NULL → non-true behavior.
+        if self._NUMERIC in (lk, rk):
+            l_sql = (lv if lk == self._NUMERIC
+                     else f"TRY_CAST({self._as_lexical(lhs)} AS DOUBLE)")
+            r_sql = (rv if rk == self._NUMERIC
+                     else f"TRY_CAST({self._as_lexical(rhs)} AS DOUBLE)")
+        else:
+            l_sql = self._as_lexical(lhs)
+            r_sql = self._as_lexical(rhs)
+        return f"({l_sql} {op} {r_sql})"
+
+    def _as_encoded(self, operand) -> str:
+        kind, val = operand
+        if kind == self._VAR:
+            return _col(val)
+        assert kind == self._TERM, kind
+        return _sql_str(val)
+
+    def _as_lexical(self, operand) -> str:
+        kind, val = operand
+        if kind == self._VAR:
+            return _lex_sql(val)
+        if kind == self._TERM:
+            return _sql_str(_term_lexical(val))
+        return val  # _LEX (an SQL expression) / _NUMERIC
+
+    def _operand(self):
+        t = self.next()
+        self._reject_unsupported(t)
+        if t.kind == "VAR":
+            v = t.text[1:]
+            if v not in self.vars_seen:
+                raise SPARQLError(
+                    f"FILTER references ?{v} (offset {t.pos}) before any "
+                    "pattern binds it")
+            return (self._VAR, v)
+        if t.kind == "NUMBER":
+            return (self._NUMERIC, t.text)
+        if t.kind == "STRING":
+            # string constants are RDF terms: "x" is a simple literal
+            # (term-equal only to another plain "x"); comparison against
+            # a lexical (STR()) converts via _as_lexical.
+            return (self._TERM, self._string_term(t.text))
+        if t.kind == "IRIREF":
+            return (self._TERM, self._resolve_iriref(t.text))
+        if t.kind == "PNAME":
+            return (self._TERM, self._expand_pname(t.text, t.pos))
+        if t.kind == "NAME":
+            return self._function(t)
+        raise SPARQLError(
+            f"unexpected {t.text!r} in FILTER at offset {t.pos}")
+
+    def _fn_args(self, name: str, n_min: int, n_max: int) -> list:
+        self.expect_op("(")
+        args = []
+        while True:
+            args.append(self._operand())
+            if self.peek().kind == "OP" and self.peek().text == ",":
+                self.next()
+                continue
+            break
+        self.expect_op(")")
+        if not (n_min <= len(args) <= n_max):
+            raise SPARQLError(
+                f"{name} takes {n_min}"
+                + (f"-{n_max}" if n_max != n_min else "")
+                + f" arguments, got {len(args)}")
+        return args
+
+    def _function(self, t: _Tok):
+        name = t.text.upper()
+        if name == "STR":
+            (a,) = self._fn_args(name, 1, 1)
+            return (self._LEX, self._as_lexical(a))
+        if name == "LANG":
+            (a,) = self._fn_args(name, 1, 1)
+            if a[0] != self._VAR:
+                raise SPARQLError("LANG takes a variable")
+            c = _col(a[1])
+            return (self._LEX,
+                    f"(CASE WHEN {c} RLIKE '^\"(?:[^\"\\\\\\\\]|"
+                    f"\\\\\\\\.)*\"@' THEN regexp_extract({c}, "
+                    f"'@([A-Za-z0-9-]+)$', 1) ELSE '' END)")
+        if name == "STRLEN":
+            (a,) = self._fn_args(name, 1, 1)
+            return (self._NUMERIC, f"length({self._as_lexical(a)})")
+        if name in ("STRSTARTS", "STRENDS", "CONTAINS"):
+            a, b = self._fn_args(name, 2, 2)
+            fn = {"STRSTARTS": "startswith", "STRENDS": "endswith",
+                  "CONTAINS": "contains"}[name]
+            return (self._BOOL,
+                    f"{fn}({self._as_lexical(a)}, {self._as_lexical(b)})")
+        if name == "REGEX":
+            args = self._fn_args(name, 2, 3)
+            subj = self._as_lexical(args[0])
+            if args[1][0] != self._TERM or not args[1][1].startswith('"'):
+                raise SPARQLError("REGEX pattern must be a string literal")
+            pat = _term_lexical(args[1][1])
+            if len(args) == 3:
+                flags = (_term_lexical(args[2][1])
+                         if args[2][0] == self._TERM else None)
+                if flags not in ("i", "s", "m", "is", "si", "im", "mi",
+                                 "sm", "ms"):
+                    raise SPARQLUnsupportedError(
+                        "REGEX flags other than combinations of i/s/m "
+                        "are outside the supported subset")
+                pat = f"(?{flags})" + pat
+            return (self._BOOL, f"({subj} RLIKE {_sql_str(pat)})")
+        if name in ("ISIRI", "ISURI", "ISLITERAL", "ISBLANK"):
+            (a,) = self._fn_args(name, 1, 1)
+            if a[0] != self._VAR:
+                raise SPARQLError(f"{name} takes a variable")
+            c = _col(a[1])
+            pref = {"ISIRI": "<", "ISURI": "<", "ISLITERAL": '"',
+                    "ISBLANK": "_"}[name]
+            return (self._BOOL, f"(substring({c}, 1, 1) = '{pref}')")
+        raise SPARQLUnsupportedError(
+            f"FILTER function {t.text}(...) at offset {t.pos} is outside "
+            "the supported subset (STR LANG REGEX STRSTARTS STRENDS "
+            "CONTAINS STRLEN isIRI isLiteral isBlank)")
+
+
+# ------------------------------------------------------- SQL fragments
+
+
+def _col(var: str) -> str:
+    return f"`{var}`"
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _unescape(body: str) -> str:
+    """Undo the engine's N-Triples escapes (\\" and \\\\) in a quoted
+    literal body."""
+    return re.sub(r"\\(.)", r"\1", body)
+
+
+def _term_lexical(term: str) -> str:
+    """Lexical form of an ENCODED constant term (driver-side mirror of
+    :func:`_lex_sql`)."""
+    if term.startswith("<") and term.endswith(">"):
+        return term[1:-1]
+    m = re.match(r'^"((?:[^"\\]|\\.)*)"', term)
+    if m:
+        return _unescape(m.group(1))
+    return term
+
+
+def _lex_sql(var: str) -> str:
+    """SQL expression for a variable's lexical form (SPARQL ``STR``):
+    brackets off IRIs; quotes, ``@lang``/``^^dt`` and backslash-escapes
+    off literals; blank-node labels (and anything else) pass through.
+    ``regexp_replace(x, '\\\\(.)', '$1')`` is a correct full unescape —
+    left-to-right, non-overlapping, so ``\\\\`` → ``\\`` and ``\\"`` →
+    ``"`` in one pass."""
+    c = _col(var)
+    return (
+        f"(CASE WHEN substring({c}, 1, 1) = '<' "
+        f"THEN substring({c}, 2, length({c}) - 2) "
+        f"WHEN substring({c}, 1, 1) = '\"' "
+        f"THEN regexp_replace(regexp_extract({c}, "
+        f"'^\"((?:[^\"\\\\\\\\]|\\\\\\\\.)*)\"', 1), "
+        f"'\\\\\\\\(.)', '$1') "
+        f"ELSE {c} END)")
+
+
+# ---------------------------------------------------------- public API
+
+
+def parse_select(query: str) -> ParsedQuery:
+    """Parse (no Spark needed) — exposed for tests and EXPLAIN tooling."""
+    return _Parser(query).parse()
+
+
+def sparql_select(
+    triples: DataFrame,
+    query: str,
+    stats=None,
+) -> DataFrame:
+    """Run a SPARQL SELECT (the documented subset) over an (s, p, o[, g])
+    triples DataFrame. Columns are named by the selected variables.
+
+    ``stats`` is forwarded to :func:`kg_query` (``"auto"`` computes the
+    predicate histogram for selectivity-ordered joins — cache it across
+    queries in a query-many workload)."""
+    pq = parse_select(query)
+    try:
+        out = kg_query(triples, pq.patterns, filters=pq.filters,
+                       select=pq.select_vars, distinct=pq.distinct,
+                       stats=stats)
+    except BGPError as e:
+        raise SPARQLError(f"unexecutable SPARQL BGP: {e}") from e
+    if pq.order_by:
+        out = out.orderBy(*[
+            F.col(v).asc() if asc else F.col(v).desc()
+            for v, asc in pq.order_by])
+    if pq.offset is not None:
+        out = out.offset(pq.offset)
+    if pq.limit is not None:
+        out = out.limit(pq.limit)
+    return out

@@ -57,7 +57,7 @@ def top_heavy_keys(df: DataFrame, key: str, threshold_rows: int) -> List:
         hot = top_heavy_keys(df.sample(frac, seed=7), "domain",
                              threshold_rows=int(5_000_000 * frac))
         out = salted_join(df, dims, "domain", "domain",
-                          n_salts=32) if hot else df.join(dims, "domain")
+                          salt=32) if hot else df.join(dims, "domain")
 
     (AQE's skew-join handles most cases without this; use it for the
     write-side exchanges AQE does not rebalance.)"""

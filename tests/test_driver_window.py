@@ -20,8 +20,8 @@ KG_CHAIN = [
     "kg_canonical_mapping",
     "kg_pipeline_triples",
     "kg_pipeline_fused_triples",
-    "kg_bgp_query",
-    "kg_query_2hop",
+    "kg_sparql_query",   # r7: SPARQL text surface replaced kg_bgp_query
+    "kg_query_2hop",     # (that row is PYTEST_ONLY — same oracle family)
     "kg_pagerank",
 ]
 
