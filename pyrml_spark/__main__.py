@@ -8,6 +8,15 @@ not replicated):
 Default output format nt-like (the reference defaults to 'nt',
 pyrml-mapper.py:40). Parquet output is the scale path: partitioned
 (s,p,o,g) table.
+
+Query mode (`--sparql`, no reference counterpart — it only writes
+graphs): run a SPARQL SELECT/ASK/CONSTRUCT (kg/sparql.py's documented
+subset) over either the triples a mapping just produced, or a
+previously materialized table (`--triples DIR` from an earlier
+``-f parquet`` / ``-f table`` run — the construct-once/query-many
+path). SELECT prints TSV (or writes parquet with -o), ASK prints
+true/false, CONSTRUCT feeds the resulting graph through the same
+``-f`` serializers as a conversion.
 """
 
 from __future__ import annotations
@@ -19,7 +28,16 @@ import sys
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="pyrml_spark")
-    ap.add_argument("mapping", help="RML mapping document (Turtle)")
+    ap.add_argument("mapping", nargs="?", default=None,
+                    help="RML mapping document (Turtle); omit when "
+                         "querying an existing table via --triples")
+    ap.add_argument("--sparql", default=None, metavar="QUERY",
+                    help="SPARQL SELECT/ASK/CONSTRUCT to run over the "
+                         "converted or --triples graph (@file to read "
+                         "the query text from a file)")
+    ap.add_argument("--triples", default=None, metavar="DIR",
+                    help="materialized (s,p,o[,g]) parquet/table dir to "
+                         "query instead of converting a mapping")
     ap.add_argument("-o", "--output", default=None,
                     help="output path (directory); stdout if omitted")
     ap.add_argument("-f", "--format", default="ntriples",
@@ -36,6 +54,14 @@ def main(argv=None) -> int:
     ap.add_argument("--no-dedup", action="store_true",
                     help="skip the distinct pass (RDF set semantics)")
     args = ap.parse_args(argv)
+
+    if args.mapping is None and args.triples is None:
+        ap.error("provide a mapping to convert, or --triples to query")
+    if args.mapping is not None and args.triples is not None:
+        ap.error("mapping and --triples are mutually exclusive "
+                 "(convert first, then query the materialized table)")
+    if args.triples is not None and args.sparql is None:
+        ap.error("--triples requires --sparql (nothing to do otherwise)")
 
     template_vars = {}
     for kv in args.var:
@@ -54,14 +80,51 @@ def main(argv=None) -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from .compiler import convert
     from .nquads import nquads_line_col, write_nquads
 
-    df = convert(
-        spark, args.mapping, template_vars=template_vars or None,
-        deduplicate=not args.no_dedup,
-    )
+    if args.triples is not None:
+        df = spark.read.parquet(args.triples)
+        missing = {"s", "p", "o"} - set(df.columns)
+        if missing:
+            print(f"--triples table lacks column(s) {sorted(missing)} "
+                  f"(found {df.columns})", file=sys.stderr)
+            return 2
+    else:
+        from .compiler import convert
+
+        df = convert(
+            spark, args.mapping, template_vars=template_vars or None,
+            deduplicate=not args.no_dedup,
+        )
     from pyspark.sql import functions as F
+
+    if args.sparql is not None:
+        query = args.sparql
+        if query.startswith("@"):
+            with open(query[1:], encoding="utf-8") as fh:
+                query = fh.read()
+        from .kg.sparql import (parse_select, sparql_ask,
+                                sparql_construct, sparql_select)
+
+        triples = df.select("s", "p", "o")
+        form = parse_select(query).form
+        if form == "ASK":
+            print("true" if sparql_ask(triples, query, stats="auto")
+                  else "false")
+            return 0
+        if form == "SELECT":
+            out = sparql_select(triples, query, stats="auto")
+            if args.output:
+                out.write.mode("overwrite").parquet(args.output)
+            else:
+                print("\t".join(out.columns))
+                for row in out.toLocalIterator():
+                    print("\t".join("" if v is None else str(v)
+                                    for v in row))
+            return 0
+        # CONSTRUCT: a graph — flows through the -f serializers below
+        df = sparql_construct(triples, query, stats="auto").withColumn(
+            "g", F.lit(None).cast("string"))
 
     if args.format in ("ntriples", "turtle", "ttl", "n3", "xml",
                        "pretty-xml"):

@@ -186,6 +186,63 @@ def kg_sparql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                          stats="auto")
 
 
+# pytest-only rows for the SPARQL forms beyond the plain BGP (window is
+# full at 50): aggregation with GROUP BY, OPTIONAL left-extension, and
+# CONSTRUCT — each against its own DuckDB oracle in entry.py.
+SPARQL_AGG_QUERY = """
+PREFIX kg: <http://kg.ex/p/>
+SELECT ?kind (COUNT(*) AS ?n_media) (COUNT(DISTINCT ?doc) AS ?n_docs)
+WHERE {
+  ?doc kg:hasMedia ?media .
+  ?media kg:mediaKind ?kind .
+} GROUP BY ?kind
+"""
+
+SPARQL_OPTIONAL_QUERY = """
+PREFIX kg: <http://kg.ex/p/>
+SELECT ?doc ?person ?media WHERE {
+  ?doc kg:mentions ?person
+  OPTIONAL { ?doc kg:hasMedia ?media }
+}
+"""
+
+SPARQL_CONSTRUCT_QUERY = """
+PREFIX kg: <http://kg.ex/p/>
+CONSTRUCT { ?person kg:mentionedIn ?doc }
+WHERE { ?doc kg:mentions ?person }
+"""
+
+
+def kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY aggregation through the SPARQL surface (media assets and
+    distinct carrying documents per media kind) — one partial-agg
+    groupBy over the joined bindings, COUNTs stay BIGINT on both
+    engines."""
+    from .sparql import sparql_select
+
+    return sparql_select(_sink_triples(spark, sf_dir), SPARQL_AGG_QUERY)
+
+
+def kg_sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL (left-join extension) through the SPARQL surface: every
+    mention binding, extended with the document's media when present —
+    bag semantics, NULL media where the document carries none."""
+    from .sparql import sparql_select
+
+    return sparql_select(_sink_triples(spark, sf_dir),
+                         SPARQL_OPTIONAL_QUERY)
+
+
+def kg_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT through the SPARQL surface: derive an inverse edge
+    (person mentionedIn doc) as a new (s, p, o) graph — template
+    instantiation over the solution bag, set semantics."""
+    from .sparql import sparql_construct
+
+    return sparql_construct(_sink_triples(spark, sf_dir),
+                            SPARQL_CONSTRUCT_QUERY)
+
+
 def kg_query_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver row for the general compiler on a DIFFERENT pattern shape
     (2-hop sameAs→mentions path + hasMedia star), over the materialized

@@ -389,9 +389,52 @@ WHERE m.p = '<http://kg.ex/p/mentions>'
   AND k.o <> '"image"'
 """
 
+# SPARQL GROUP BY aggregation (analytics.SPARQL_AGG_QUERY) — COUNTs are
+# BIGINT on both engines (no SUM: DuckDB widens SUM to HUGEINT)
+ORACLE_KG_SPARQL_AGG = _GEN_PREFIX + _TRIPLES_CTES + """
+, t AS (
+  SELECT DISTINCT s, p, o FROM (
+    SELECT * FROM rewritten UNION ALL SELECT * FROM sameas
+  )
+)
+SELECT k.o AS kind, COUNT(*) AS n_media, COUNT(DISTINCT h.s) AS n_docs
+FROM t h, t k
+WHERE h.p = '<http://kg.ex/p/hasMedia>'
+  AND k.p = '<http://kg.ex/p/mediaKind>' AND k.s = h.o
+GROUP BY k.o
+"""
+
+# SPARQL OPTIONAL (analytics.SPARQL_OPTIONAL_QUERY) — bag-semantics
+# left extension of mentions by the document's media
+ORACLE_KG_SPARQL_OPTIONAL = _GEN_PREFIX + _TRIPLES_CTES + """
+, t AS (
+  SELECT DISTINCT s, p, o FROM (
+    SELECT * FROM rewritten UNION ALL SELECT * FROM sameas
+  )
+)
+SELECT m.s AS doc, m.o AS person, h.o AS media
+FROM t m LEFT JOIN t h
+  ON h.p = '<http://kg.ex/p/hasMedia>' AND h.s = m.s
+WHERE m.p = '<http://kg.ex/p/mentions>'
+"""
+
+# SPARQL CONSTRUCT (analytics.SPARQL_CONSTRUCT_QUERY) — inverse edge
+# derivation, set semantics over the instantiated template
+ORACLE_KG_SPARQL_CONSTRUCT = _GEN_PREFIX + _TRIPLES_CTES + """
+, t AS (
+  SELECT DISTINCT s, p, o FROM (
+    SELECT * FROM rewritten UNION ALL SELECT * FROM sameas
+  )
+)
+SELECT DISTINCT m.o AS s, '<http://kg.ex/p/mentionedIn>' AS p, m.s AS o
+FROM t m WHERE m.p = '<http://kg.ex/p/mentions>'
+"""
+
 
 from .analytics import (kg_bgp_from_sink, kg_bgp_query,  # noqa: E402
-                        kg_pagerank, kg_query_2hop, kg_sparql_query)
+                        kg_pagerank, kg_query_2hop, kg_sparql_agg,
+                        kg_sparql_construct, kg_sparql_optional,
+                        kg_sparql_query)
 
 KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_documents": kg_documents,
@@ -414,6 +457,11 @@ KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_from_sink": kg_bgp_from_sink,
     # streaming bronze ingest, pytest-only (window full) — full SQL oracle
     "kg_stream_triples": kg_stream_triples,
+    # SPARQL forms beyond the plain BGP, pytest-only (window full):
+    # GROUP BY aggregation, OPTIONAL left-extension, CONSTRUCT
+    "kg_sparql_agg": kg_sparql_agg,
+    "kg_sparql_optional": kg_sparql_optional,
+    "kg_sparql_construct": kg_sparql_construct,
 }
 
 KG_ORACLES: Dict[str, str] = {
@@ -428,4 +476,7 @@ KG_ORACLES: Dict[str, str] = {
     "kg_pagerank": ORACLE_KG_PAGERANK,
     "kg_bgp_from_sink": ORACLE_KG_BGP,
     "kg_stream_triples": ORACLE_KG_STREAM,
+    "kg_sparql_agg": ORACLE_KG_SPARQL_AGG,
+    "kg_sparql_optional": ORACLE_KG_SPARQL_OPTIONAL,
+    "kg_sparql_construct": ORACLE_KG_SPARQL_CONSTRUCT,
 }

@@ -13,11 +13,23 @@ Supported subset (everything else raises :class:`SPARQLUnsupportedError`
 at parse time — loud, never a silent approximation):
 
 * ``PREFIX`` / ``BASE`` prologue; prefixed names anywhere an IRI goes.
-* ``SELECT [DISTINCT|REDUCED] ?v ... | *`` — plain variables only.
+* Query forms ``SELECT`` (→ :func:`sparql_select`), ``ASK``
+  (→ :func:`sparql_ask`), ``CONSTRUCT`` (→ :func:`sparql_construct`).
+* ``SELECT [DISTINCT|REDUCED] ?v ... | * | (AGG(?v) AS ?alias) ...``.
   ``REDUCED`` runs as the bag (returning duplicates is conformant:
-  REDUCED *permits* but does not require elimination).
+  REDUCED *permits* but does not require elimination). Aggregates:
+  ``COUNT(*)``, ``COUNT([DISTINCT] ?v)``, ``SUM/AVG/MIN/MAX(?v)``
+  (numeric, over the lexical form via TRY_CAST — a non-numeric term
+  contributes NULL, which SQL aggregates skip, matching SPARQL's
+  error-term elision), with ``GROUP BY ?v ...``.
 * ``WHERE { ... }`` with triple patterns, ``;`` predicate lists, ``,``
-  object lists, ``a`` for rdf:type, and ``FILTER(...)``.
+  object lists, ``a`` for rdf:type, ``FILTER(...)``, any number of
+  flat ``OPTIONAL { patterns FILTER... }`` blocks (left joins on the
+  shared variables — an OPTIONAL sharing no variable with the required
+  group is rejected, and top-level FILTERs may only reference required
+  variables), and the top-level union form
+  ``{ group } UNION { group } ...`` (bag union, columns aligned by
+  variable name, NULL where a side does not bind).
 * Terms: ``?var``, ``<iri>``, ``pfx:local``, ``"lit"``, ``"lit"@lang``,
   ``"lit"^^dt``, integer/decimal/double shorthand (typed per the XSD
   rules SPARQL gives numeric tokens). Constants are rendered to the
@@ -27,6 +39,10 @@ at parse time — loud, never a silent approximation):
   ``= != < > <= >=``, and the functions ``STR LANG REGEX STRSTARTS
   STRENDS CONTAINS STRLEN isIRI isURI isLiteral isBlank``.
 * ``ORDER BY [ASC|DESC](?v) ...``, ``LIMIT n``, ``OFFSET n``.
+* ``CONSTRUCT { template }``: each solution instantiates the template
+  triples; instantiations with an unbound position, a literal subject,
+  or a non-IRI predicate are skipped (the spec's rule), and the result
+  graph is a set — one ``distinct()`` over the unioned projections.
 
 FILTER semantics (documented, SPARQL-faithful where it matters):
 
@@ -69,7 +85,7 @@ from urllib.parse import urljoin
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .query import BGPError, kg_query
+from .query import BGPError, is_var, kg_query
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
 RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
@@ -87,15 +103,17 @@ class SPARQLUnsupportedError(SPARQLError):
 
 _KEYWORDS = {
     "select", "distinct", "reduced", "where", "filter", "prefix", "base",
-    "order", "by", "limit", "offset", "asc", "desc", "a",
+    "order", "by", "limit", "offset", "asc", "desc", "a", "optional",
+    "union", "ask", "construct", "group", "as",
 }
 # recognized-and-rejected: name the construct in the error instead of a
 # generic parse failure (these are the SPARQL features OUTSIDE the subset)
 _UNSUPPORTED_KEYWORDS = {
-    "optional", "union", "minus", "graph", "bind", "values", "service",
-    "exists", "not", "ask", "construct", "describe", "having", "group",
-    "count", "sum", "avg", "min", "max", "sample", "group_concat",
+    "minus", "graph", "bind", "values", "service", "exists", "not",
+    "describe", "having", "sample", "group_concat",
 }
+
+_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
 
 _TOKEN_RE = re.compile(
     r"""
@@ -144,13 +162,33 @@ def _lex(query: str) -> List[_Tok]:
 
 
 @dataclass
+class Aggregate:
+    """One ``(AGG(?v) AS ?alias)`` select expression."""
+    fn: str                    # COUNT / SUM / AVG / MIN / MAX
+    var: Optional[str]         # None == COUNT(*)
+    distinct: bool
+    alias: str
+
+
+@dataclass
 class ParsedQuery:
-    """Inspectable parse result — everything ``sparql_select`` hands to
-    the BGP compiler, plus the solution modifiers it applies itself."""
+    """Inspectable parse result — everything the executors hand to the
+    BGP compiler, plus the solution modifiers they apply themselves."""
+    form: str                               # SELECT | ASK | CONSTRUCT
     select_vars: Optional[List[str]]        # None == SELECT *
     distinct: bool
-    patterns: List[Tuple[str, str, str]]    # kg_query pattern terms
+    patterns: List[Tuple[str, str, str]]    # required-group patterns
     filters: List[str]                      # translated SQL expressions
+    # each OPTIONAL block: (patterns, filters) — left-joined in order
+    optionals: List[Tuple[List[Tuple[str, str, str]], List[str]]] = field(
+        default_factory=list)
+    # top-level { g } UNION { g }: list of (patterns, filters) sides;
+    # when set, patterns/filters/optionals above are empty
+    union_groups: Optional[
+        List[Tuple[List[Tuple[str, str, str]], List[str]]]] = None
+    aggregates: List[Aggregate] = field(default_factory=list)
+    group_by: List[str] = field(default_factory=list)
+    template: List[Tuple[str, str, str]] = field(default_factory=list)
     order_by: List[Tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: Optional[int] = None
     offset: Optional[int] = None
@@ -277,6 +315,27 @@ class _Parser:
 
     # -- query -------------------------------------------------------
     def parse(self) -> ParsedQuery:
+        self._prologue()
+        self._reject_unsupported(self.peek())
+        if self.at_kw("select"):
+            pq = self._select_query()
+        elif self.at_kw("ask"):
+            pq = self._ask_query()
+        elif self.at_kw("construct"):
+            pq = self._construct_query()
+        else:
+            t = self.peek()
+            raise SPARQLError(
+                f"expected SELECT, ASK or CONSTRUCT at offset {t.pos}, "
+                f"got {t.text!r}")
+        t = self.next()
+        if t.kind != "EOF":
+            self._reject_unsupported(t)
+            raise SPARQLError(
+                f"trailing content at offset {t.pos}: {t.text!r}")
+        return pq
+
+    def _prologue(self) -> None:
         while self.at_kw("prefix", "base"):
             kw = self.next().text.lower()
             if kw == "prefix":
@@ -296,7 +355,7 @@ class _Parser:
                         f"expected <iri> after BASE at offset {iri.pos}")
                 self.base = iri.text[1:-1]
 
-        self._reject_unsupported(self.peek())
+    def _select_query(self) -> ParsedQuery:
         self.expect_kw("select")
         distinct = False
         if self.at_kw("distinct"):
@@ -306,29 +365,119 @@ class _Parser:
             self.next()  # bag is a conformant REDUCED answer
 
         select_vars: Optional[List[str]] = None
+        aggregates: List[Aggregate] = []
         if self.peek().kind == "OP" and self.peek().text == "*":
             self.next()
         else:
             select_vars = []
-            while self.peek().kind == "VAR":
-                select_vars.append(self.next().text[1:])
-            if not select_vars:
+            while True:
+                t = self.peek()
+                if t.kind == "VAR":
+                    select_vars.append(self.next().text[1:])
+                    continue
+                if t.kind == "OP" and t.text == "(":
+                    aggregates.append(self._select_expression())
+                    continue
+                break
+            if not select_vars and not aggregates:
                 t = self.peek()
                 self._reject_unsupported(t)
-                if t.kind == "OP" and t.text == "(":
-                    raise SPARQLUnsupportedError(
-                        f"SELECT expressions at offset {t.pos} are "
-                        "outside the supported subset (plain variables "
-                        "or * only)")
                 raise SPARQLError(
-                    f"expected ?var or * after SELECT at offset {t.pos}")
+                    f"expected ?var, (AGG(...) AS ?alias) or * after "
+                    f"SELECT at offset {t.pos}")
 
-        if self.at_kw("where"):
+        pq = self._where_clause()
+        pq.form = "SELECT"
+        pq.select_vars = select_vars
+        pq.distinct = distinct
+        pq.aggregates = aggregates
+        pq.group_by = self._group_by()
+        if self.at_kw("having"):
+            t = self.peek()
+            raise SPARQLUnsupportedError(
+                f"HAVING at offset {t.pos} is outside the supported "
+                "subset (filter before aggregation, or post-filter the "
+                "returned DataFrame)")
+        if aggregates:
+            aliases = [a.alias for a in aggregates]
+            dup = set(aliases) & set(self.vars_seen)
+            if dup:
+                raise SPARQLError(
+                    f"aggregate alias{'es' if len(dup) > 1 else ''} "
+                    f"{sorted(dup)} collide with pattern variables")
+            bad = [v for v in (select_vars or []) if v not in pq.group_by]
+            if bad:
+                raise SPARQLError(
+                    f"non-aggregated SELECT variables {bad} must appear "
+                    "in GROUP BY")
+        elif pq.group_by:
+            raise SPARQLError(
+                "GROUP BY without an aggregate in SELECT")
+        pq.order_by = self._order_by()
+        self._limit_offset(pq)
+        return pq
+
+    def _select_expression(self) -> Aggregate:
+        self.expect_op("(")
+        t = self.next()
+        name = t.text.upper() if t.kind == "NAME" else ""
+        if name not in _AGG_FNS:
+            self._reject_unsupported(t)
+            raise SPARQLUnsupportedError(
+                f"SELECT expression {t.text!r} at offset {t.pos} is "
+                "outside the supported subset (COUNT/SUM/AVG/MIN/MAX "
+                "aggregates only)")
+        self.expect_op("(")
+        agg_distinct = False
+        if self.at_kw("distinct"):
             self.next()
-        self.expect_op("{")
-        patterns, filters = self._group()
-        order_by = self._order_by()
-        limit = offset = None
+            agg_distinct = True
+        var: Optional[str] = None
+        a = self.next()
+        if a.kind == "VAR":
+            var = a.text[1:]
+        elif a.kind == "OP" and a.text == "*" and name == "COUNT":
+            var = None
+        else:
+            raise SPARQLError(
+                f"expected ?var{' or *' if name == 'COUNT' else ''} in "
+                f"{name}() at offset {a.pos}")
+        if var is None and agg_distinct:
+            raise SPARQLUnsupportedError(
+                "COUNT(DISTINCT *) is outside the supported subset")
+        if agg_distinct and name != "COUNT":
+            raise SPARQLUnsupportedError(
+                f"{name}(DISTINCT ...) is outside the supported subset")
+        self.expect_op(")")
+        self.expect_kw("as")
+        al = self.next()
+        if al.kind != "VAR":
+            raise SPARQLError(
+                f"expected ?alias after AS at offset {al.pos}")
+        self.expect_op(")")
+        return Aggregate(fn=name, var=var, distinct=agg_distinct,
+                         alias=al.text[1:])
+
+    def _group_by(self) -> List[str]:
+        if not self.at_kw("group"):
+            return []
+        self.next()
+        self.expect_kw("by")
+        out: List[str] = []
+        while self.peek().kind == "VAR":
+            v = self.next().text[1:]
+            if v not in self.vars_seen:
+                raise SPARQLError(
+                    f"GROUP BY ?{v} is not bound by any pattern")
+            out.append(v)
+        if not out:
+            t = self.peek()
+            raise SPARQLUnsupportedError(
+                f"GROUP BY expressions at offset {t.pos} are outside "
+                "the supported subset (variables only)")
+        return out
+
+    def _limit_offset(self, pq: ParsedQuery) -> None:
         while self.at_kw("limit", "offset"):
             kw = self.next().text.lower()
             t = self.next()
@@ -337,28 +486,101 @@ class _Parser:
                     f"expected non-negative integer after {kw.upper()} "
                     f"at offset {t.pos}")
             if kw == "limit":
-                limit = int(t.text)
+                pq.limit = int(t.text)
             else:
-                offset = int(t.text)
-        t = self.next()
-        if t.kind != "EOF":
-            self._reject_unsupported(t)
-            raise SPARQLError(
-                f"trailing content at offset {t.pos}: {t.text!r}")
-        return ParsedQuery(select_vars=select_vars, distinct=distinct,
-                           patterns=patterns, filters=filters,
-                           order_by=order_by, limit=limit, offset=offset)
+                pq.offset = int(t.text)
 
-    def _group(self) -> Tuple[List[Tuple[str, str, str]], List[str]]:
-        patterns: List[Tuple[str, str, str]] = []
-        filters: List[str] = []
+    def _ask_query(self) -> ParsedQuery:
+        self.expect_kw("ask")
+        pq = self._where_clause()
+        pq.form = "ASK"
+        return pq
+
+    def _construct_query(self) -> ParsedQuery:
+        self.expect_kw("construct")
+        self.expect_op("{")
+        template: List[Tuple[str, str, str]] = []
         while True:
             t = self.peek()
             if t.kind == "OP" and t.text == "}":
                 self.next()
-                return patterns, filters
+                break
+            if t.kind == "OP" and t.text == ".":
+                self.next()
+                continue
             if t.kind == "EOF":
-                raise SPARQLError("unterminated WHERE group (missing '}')")
+                raise SPARQLError(
+                    "unterminated CONSTRUCT template (missing '}')")
+            if self.at_kw("filter"):
+                raise SPARQLError(
+                    f"FILTER inside a CONSTRUCT template at offset "
+                    f"{t.pos} (filters belong in WHERE)")
+            template.extend(self._triples_block())
+        if not template:
+            raise SPARQLError("empty CONSTRUCT template")
+        template_vars = {v for pat in template for v in pat
+                         if is_var(v)}
+        pq = self._where_clause()
+        pq.form = "CONSTRUCT"
+        pq.template = template
+        bound = _bound_vars(pq)
+        unbound = sorted(
+            v[1:] for v in template_vars if v[1:] not in bound)
+        if unbound:
+            raise SPARQLError(
+                f"CONSTRUCT template variables {unbound} are not bound "
+                "in WHERE")
+        self._limit_offset(pq)
+        return pq
+
+    def _where_clause(self) -> ParsedQuery:
+        """WHERE { group | {g} UNION {g} ... } → a ParsedQuery skeleton
+        (form/select/modifiers filled by the caller)."""
+        if self.at_kw("where"):
+            self.next()
+        self.expect_op("{")
+        pq = ParsedQuery(form="", select_vars=None, distinct=False,
+                         patterns=[], filters=[])
+        if self.peek().kind == "OP" and self.peek().text == "{":
+            sides = []
+            while True:
+                self.expect_op("{")
+                pats, fils, opts = self._group(allow_compound=False)
+                assert not opts
+                sides.append((pats, fils))
+                if self.at_kw("union"):
+                    self.next()
+                    continue
+                break
+            self.expect_op("}")
+            if len(sides) == 1:
+                # a single braced group is just a group
+                pq.patterns, pq.filters = sides[0]
+            else:
+                pq.union_groups = sides
+        else:
+            pq.patterns, pq.filters, pq.optionals = self._group(
+                allow_compound=True)
+        return pq
+
+    def _group(self, allow_compound: bool) -> Tuple[
+            List[Tuple[str, str, str]], List[str],
+            List[Tuple[List[Tuple[str, str, str]], List[str]]]]:
+        """One brace-delimited group body → (patterns, filters,
+        optionals). ``allow_compound=False`` (UNION sides, OPTIONAL
+        bodies) rejects OPTIONAL — one level of compounding only, loud.
+        Consumes the closing '}'."""
+        patterns: List[Tuple[str, str, str]] = []
+        filters: List[str] = []
+        optionals: List[
+            Tuple[List[Tuple[str, str, str]], List[str]]] = []
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.text == "}":
+                self.next()
+                return patterns, filters, optionals
+            if t.kind == "EOF":
+                raise SPARQLError("unterminated group (missing '}')")
             if t.kind == "OP" and t.text == ".":
                 self.next()
                 continue
@@ -366,33 +588,60 @@ class _Parser:
                 self.next()
                 filters.extend(self._filter_exprs())
                 continue
+            if self.at_kw("optional"):
+                if not allow_compound:
+                    raise SPARQLUnsupportedError(
+                        f"OPTIONAL at offset {t.pos} inside another "
+                        "OPTIONAL or UNION side is outside the "
+                        "supported subset (one level of compounding)")
+                self.next()
+                self.expect_op("{")
+                o_pats, o_fils, _ = self._group(allow_compound=False)
+                if not o_pats:
+                    raise SPARQLError(
+                        f"OPTIONAL group at offset {t.pos} contains no "
+                        "triple patterns")
+                optionals.append((o_pats, o_fils))
+                continue
+            if self.at_kw("union"):
+                raise SPARQLUnsupportedError(
+                    f"UNION at offset {t.pos} is only supported as the "
+                    "top-level form {{ group }} UNION {{ group }}")
             self._reject_unsupported(t)
             if t.kind == "OP" and t.text == "{":
                 raise SPARQLUnsupportedError(
                     f"nested group at offset {t.pos} is outside the "
-                    "supported subset")
-            subj = self._term("subject")
-            while True:  # verb objectList (';' verb objectList)*
-                pred = self._term("predicate")
-                nxt = self.peek()
-                if nxt.kind == "OP" and nxt.text in "/|^*+":
-                    raise SPARQLUnsupportedError(
-                        f"property path operator {nxt.text!r} at offset "
-                        f"{nxt.pos} is outside the supported subset")
-                while True:  # object (',' object)*
-                    obj = self._term("object")
-                    patterns.append((subj, pred, obj))
-                    if self.peek().kind == "OP" and self.peek().text == ",":
-                        self.next()
-                        continue
-                    break
-                if self.peek().kind == "OP" and self.peek().text == ";":
+                    "supported subset (UNION is only supported as the "
+                    "top-level {{ group }} UNION {{ group }} form)")
+            patterns.extend(self._triples_block())
+
+    def _triples_block(self) -> List[Tuple[str, str, str]]:
+        """subject predObjList — one triples block starting at the
+        current token."""
+        out: List[Tuple[str, str, str]] = []
+        subj = self._term("subject")
+        while True:  # verb objectList (';' verb objectList)*
+            pred = self._term("predicate")
+            nxt = self.peek()
+            if nxt.kind == "OP" and nxt.text in "/|^*+":
+                raise SPARQLUnsupportedError(
+                    f"property path operator {nxt.text!r} at offset "
+                    f"{nxt.pos} is outside the supported subset")
+            while True:  # object (',' object)*
+                obj = self._term("object")
+                out.append((subj, pred, obj))
+                if self.peek().kind == "OP" and self.peek().text == ",":
                     self.next()
-                    # "s p o ; ." — dangling ; before the block end is legal
-                    if self.peek().kind == "OP" and self.peek().text in ".}":
-                        break
                     continue
                 break
+            if self.peek().kind == "OP" and self.peek().text == ";":
+                self.next()
+                # "s p o ; ." — dangling ; before the block end is legal
+                if self.peek().kind == "OP" and self.peek().text in ".}":
+                    break
+                continue
+            break
+        return out
 
     def _order_by(self) -> List[Tuple[str, bool]]:
         if not self.at_kw("order"):
@@ -692,6 +941,14 @@ def _lex_sql(var: str) -> str:
         f"ELSE {c} END)")
 
 
+def _bound_vars(pq: ParsedQuery) -> set:
+    """Variable names bound by any pattern of the WHERE clause."""
+    groups = ([pq.patterns] + [p for p, _ in pq.optionals]
+              + [p for p, _ in (pq.union_groups or [])])
+    return {t[1:] for pats in groups for pat in pats for t in pat
+            if is_var(t)}
+
+
 # ---------------------------------------------------------- public API
 
 
@@ -700,25 +957,71 @@ def parse_select(query: str) -> ParsedQuery:
     return _Parser(query).parse()
 
 
-def sparql_select(
-    triples: DataFrame,
-    query: str,
-    stats=None,
-) -> DataFrame:
-    """Run a SPARQL SELECT (the documented subset) over an (s, p, o[, g])
-    triples DataFrame. Columns are named by the selected variables.
-
-    ``stats`` is forwarded to :func:`kg_query` (``"auto"`` computes the
-    predicate histogram for selectivity-ordered joins — cache it across
-    queries in a query-many workload)."""
-    pq = parse_select(query)
+def _run_bgp(triples, patterns, filters, stats) -> DataFrame:
     try:
-        out = kg_query(triples, pq.patterns, filters=pq.filters,
-                       select=pq.select_vars, distinct=pq.distinct,
-                       stats=stats)
+        return kg_query(triples, patterns, filters=filters,
+                        select=None, distinct=False, stats=stats)
     except BGPError as e:
         raise SPARQLError(f"unexecutable SPARQL BGP: {e}") from e
+
+
+def _bindings(triples: DataFrame, pq: ParsedQuery, stats) -> DataFrame:
+    """The WHERE clause's solution bag over all its variables.
+
+    * required group → the BGP compiler (bag semantics);
+    * each OPTIONAL → its own compiled BGP LEFT-joined on the shared
+      variables (its FILTERs apply inside the optional side, per
+      SPARQL's group scoping);
+    * the union form → each side compiled independently, columns
+      aligned by variable name (NULL where a side does not bind),
+      ``unionByName`` bag union — at scale each side is its own
+      predicate-pruned scan+join tree and the union is a zero-shuffle
+      concatenation.
+    """
+    if pq.union_groups is not None:
+        if stats == "auto":
+            from .query import predicate_stats
+            stats = predicate_stats(triples)
+        sides = [_run_bgp(triples, p, f, stats)
+                 for p, f in pq.union_groups]
+        all_vars: List[str] = []
+        for df in sides:
+            for c in df.columns:
+                if c not in all_vars:
+                    all_vars.append(c)
+        aligned = [
+            df.select(*[F.col(c) if c in df.columns
+                        else F.lit(None).cast("string").alias(c)
+                        for c in all_vars])
+            for df in sides]
+        out = aligned[0]
+        for df in aligned[1:]:
+            out = out.unionByName(df)
+        return out
+
+    if stats == "auto" and pq.optionals:
+        from .query import predicate_stats
+        stats = predicate_stats(triples)
+    out = _run_bgp(triples, pq.patterns, pq.filters, stats)
+    for o_pats, o_fils in pq.optionals:
+        right = _run_bgp(triples, o_pats, o_fils, stats)
+        shared = [c for c in right.columns if c in out.columns]
+        if not shared:
+            raise SPARQLError(
+                f"OPTIONAL group {o_pats} shares no variable with the "
+                "required group — a cartesian extension; add a joining "
+                "variable")
+        out = out.join(right, on=shared, how="left")
+    return out
+
+
+def _apply_modifiers(out: DataFrame, pq: ParsedQuery) -> DataFrame:
     if pq.order_by:
+        missing = [v for v, _ in pq.order_by if v not in out.columns]
+        if missing:
+            raise SPARQLError(
+                f"ORDER BY references {missing}, not in the result "
+                f"columns {out.columns}")
         out = out.orderBy(*[
             F.col(v).asc() if asc else F.col(v).desc()
             for v, asc in pq.order_by])
@@ -727,3 +1030,104 @@ def sparql_select(
     if pq.limit is not None:
         out = out.limit(pq.limit)
     return out
+
+
+def _agg_column(a: Aggregate):
+    if a.var is None:  # COUNT(*)
+        return F.count(F.lit(1)).alias(a.alias)
+    if a.fn == "COUNT":
+        col = F.col(a.var)
+        return (F.countDistinct(col) if a.distinct
+                else F.count(col)).alias(a.alias)
+    # numeric aggregates over the lexical form; TRY_CAST skips
+    # non-numeric terms (SPARQL's error-term elision in SUM/AVG/MIN/MAX)
+    num = F.expr(f"TRY_CAST({_lex_sql(a.var)} AS DOUBLE)")
+    fn = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[a.fn]
+    return fn(num).alias(a.alias)
+
+
+def sparql_select(
+    triples: DataFrame,
+    query: str,
+    stats=None,
+) -> DataFrame:
+    """Run a SPARQL SELECT (the documented subset) over an (s, p, o[, g])
+    triples DataFrame. Columns are named by the selected variables /
+    aggregate aliases.
+
+    ``stats`` is forwarded to :func:`kg_query` (``"auto"`` computes the
+    predicate histogram for selectivity-ordered joins — cache it across
+    queries in a query-many workload)."""
+    pq = parse_select(query)
+    if pq.form != "SELECT":
+        raise SPARQLError(
+            f"sparql_select got a {pq.form} query — use "
+            f"sparql_{pq.form.lower()}")
+    out = _bindings(triples, pq, stats)
+    unknown = [v for v in (pq.select_vars or [])
+               + [a.var for a in pq.aggregates if a.var]
+               if v not in out.columns]
+    if unknown:
+        raise SPARQLError(
+            f"SELECT references unbound variables {unknown} "
+            f"(bound: {out.columns})")
+    if pq.aggregates:
+        aggs = [_agg_column(a) for a in pq.aggregates]
+        grouped = (out.groupBy(*pq.group_by) if pq.group_by
+                   else out.groupBy())
+        out = grouped.agg(*aggs)
+        cols = ((pq.select_vars or []) +
+                [a.alias for a in pq.aggregates])
+        out = out.select(*cols)
+    else:
+        if pq.select_vars is not None:
+            out = out.select(*pq.select_vars)
+    if pq.distinct:
+        out = out.distinct()
+    return _apply_modifiers(out, pq)
+
+
+def sparql_ask(triples: DataFrame, query: str, stats=None) -> bool:
+    """SPARQL ASK: True iff the WHERE clause has at least one solution.
+    Executes as ``take(1)`` on the solution bag — Spark stops the scan
+    at the first produced row."""
+    pq = parse_select(query)
+    if pq.form != "ASK":
+        raise SPARQLError(f"sparql_ask got a {pq.form} query")
+    return len(_bindings(triples, pq, stats).take(1)) > 0
+
+
+def sparql_construct(triples: DataFrame, query: str, stats=None) -> DataFrame:
+    """SPARQL CONSTRUCT: instantiate the template per solution and
+    return an (s, p, o) triples DataFrame in the engine's term encoding
+    — the output is directly writable by the nt/parquet sinks
+    (``rdfserialize`` / ``kg/table``), closing the query→construct→
+    materialize loop.
+
+    Per the spec, instantiations with an unbound (NULL) position, a
+    literal subject, or a non-IRI predicate are dropped, and the result
+    graph is a set (``distinct``). Each template triple is one narrow
+    projection of the solution bag; the union is shuffle-free and the
+    final distinct is the only exchange."""
+    pq = parse_select(query)
+    if pq.form != "CONSTRUCT":
+        raise SPARQLError(f"sparql_construct got a {pq.form} query")
+    sols = _apply_modifiers(_bindings(triples, pq, stats), pq)
+    parts = []
+    for s, p, o in pq.template:
+        cols = [
+            (F.col(t[1:]) if is_var(t) else F.lit(t)).alias(pos)
+            for pos, t in zip(("s", "p", "o"), (s, p, o))]
+        df = (sols.select(*cols)
+              .filter(F.col("s").isNotNull() & F.col("p").isNotNull()
+                      & F.col("o").isNotNull())
+              # literal/blank subjects and non-IRI predicates are
+              # invalid RDF — the spec says skip those instantiations
+              .filter(F.col("s").startswith("<")
+                      | F.col("s").startswith("_:"))
+              .filter(F.col("p").startswith("<")))
+        parts.append(df)
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out.distinct()

@@ -106,20 +106,29 @@ def test_filter_unbound_variable_is_loud():
 
 
 @pytest.mark.parametrize("query,construct", [
-    ("SELECT ?s WHERE { OPTIONAL { ?s <http://e/p> ?o } }", "OPTIONAL"),
-    ("SELECT ?s WHERE { { ?s <http://e/p> ?o } UNION "
-     "{ ?s <http://e/q> ?o } }", "nested group"),
     ("SELECT ?s WHERE { GRAPH <http://g> { ?s <http://e/p> ?o } }",
      "GRAPH"),
     ("SELECT ?s WHERE { BIND(1 AS ?x) . ?s <http://e/p> ?x }", "BIND"),
-    ("SELECT (COUNT(?s) AS ?n) WHERE { ?s <http://e/p> ?o }",
-     "SELECT expressions"),
     ("SELECT ?s WHERE { ?s <http://e/p>/<http://e/q> ?o }",
      "property path"),
     ("SELECT ?s WHERE { ?s <http://e/p> [ <http://e/q> ?o ] }",
      "blank node"),
     ("SELECT ?s WHERE { ?s <http://e/p> ?o FILTER(ABS(?o) > 1) }",
      "ABS"),
+    # one level of compounding only
+    ("SELECT ?s WHERE { ?s <http://e/p> ?o OPTIONAL { "
+     "?s <http://e/q> ?a OPTIONAL { ?s <http://e/r> ?b } } }",
+     "one level"),
+    # UNION must be the top-level form
+    ("SELECT ?s WHERE { ?s <http://e/p> ?o . "
+     "{ ?s <http://e/q> ?a } UNION { ?s <http://e/r> ?a } }",
+     "top-level"),
+    ("SELECT (SAMPLE(?s) AS ?x) WHERE { ?s <http://e/p> ?o }",
+     "SAMPLE"),
+    ("SELECT (SUM(?o) AS ?x) WHERE { ?s <http://e/p> ?o } HAVING (?x > 1)",
+     "HAVING"),
+    ("SELECT ?s WHERE { ?s <http://e/p> ?o MINUS "
+     "{ ?s <http://e/q> ?o } }", "MINUS"),
 ])
 def test_unsupported_constructs_are_loud(query, construct):
     with pytest.raises(SPARQLUnsupportedError, match=construct):
@@ -295,6 +304,154 @@ def test_exec_matches_hand_built_bgp(spark):
     out = kg_sparql_query(spark, "unused")
     assert out.columns == ["doc", "person", "kind"]
     assert out.count() > 0
+
+
+# ------------------------------------- OPTIONAL / UNION / agg / forms
+
+
+def test_parse_optional_union_aggregates():
+    pq = parse_select(
+        "SELECT ?s ?o WHERE { ?s <http://e/p> ?x "
+        "OPTIONAL { ?s <http://e/q> ?o FILTER(?o != 1) } }")
+    assert len(pq.optionals) == 1
+    opats, ofils = pq.optionals[0]
+    assert opats == [("?s", "<http://e/q>", "?o")] and len(ofils) == 1
+
+    pq = parse_select(
+        "SELECT ?s WHERE { { ?s <http://e/p> ?a } UNION "
+        "{ ?s <http://e/q> ?b } }")
+    assert pq.union_groups is not None and len(pq.union_groups) == 2
+    assert not pq.patterns
+
+    pq = parse_select(
+        "SELECT ?t (COUNT(*) AS ?n) (SUM(?a) AS ?tot) WHERE "
+        "{ ?s a ?t . ?s <http://e/age> ?a } GROUP BY ?t")
+    assert [a.fn for a in pq.aggregates] == ["COUNT", "SUM"]
+    assert pq.aggregates[0].var is None
+    assert pq.group_by == ["t"]
+
+
+def test_parse_aggregate_validation():
+    with pytest.raises(SPARQLError, match="must appear in GROUP BY"):
+        parse_select("SELECT ?s (COUNT(?o) AS ?n) WHERE "
+                     "{ ?s <http://e/p> ?o }")
+    with pytest.raises(SPARQLError, match="GROUP BY without"):
+        parse_select("SELECT ?s WHERE { ?s <http://e/p> ?o } GROUP BY ?s")
+    with pytest.raises(SPARQLError, match="collide"):
+        parse_select("SELECT (COUNT(?o) AS ?s) WHERE "
+                     "{ ?s <http://e/p> ?o }")
+    with pytest.raises(SPARQLError, match="not bound"):
+        parse_select("SELECT (COUNT(?o) AS ?n) WHERE "
+                     "{ ?s <http://e/p> ?o } GROUP BY ?z")
+
+
+def test_exec_optional_left_join(triples):
+    # every Person, with their age if any — club has a name but no type
+    # row with age, alice+bob both have ages; drop bob's age via filter
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s ?a WHERE { ?s a e:Person "
+        "OPTIONAL { ?s e:age ?a FILTER(?a >= 18) } } ORDER BY ?s")
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [
+        ("<http://e/alice>",
+         '"31"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://e/bob>", None),
+    ]
+
+
+def test_exec_optional_requires_shared_var(triples):
+    with pytest.raises(SPARQLError, match="shares no variable"):
+        sparql_select(
+            triples,
+            PFX + "SELECT ?s WHERE { ?s a e:Person "
+            "OPTIONAL { ?x e:age ?y } }").collect()
+
+
+def test_exec_union(triples):
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s ?n ?t WHERE { { ?s e:name ?n } UNION "
+        "{ ?s a ?t } }")
+    assert out.columns == ["s", "n", "t"]
+    rows = [tuple(r) for r in out.collect()]
+    assert len(rows) == 6  # 3 names + 3 types, bag union
+    # name side has NULL t, type side has NULL n
+    assert sum(1 for r in rows if r[1] is None and r[2] is not None) == 3
+    assert sum(1 for r in rows if r[2] is None and r[1] is not None) == 3
+
+
+def test_exec_aggregates(triples):
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?t (COUNT(*) AS ?n) WHERE { ?s a ?t } "
+        "GROUP BY ?t ORDER BY ?t")
+    assert [tuple(r) for r in out.collect()] == [
+        ("<http://e/Org>", 1), ("<http://e/Person>", 2)]
+    out = sparql_select(
+        triples,
+        PFX + "SELECT (SUM(?a) AS ?tot) (AVG(?a) AS ?avg) "
+        "(COUNT(DISTINCT ?s) AS ?np) WHERE { ?s e:age ?a }")
+    assert [tuple(r) for r in out.collect()] == [(38.0, 19.0, 2)]
+    # SUM over non-numeric lexicals elides the error terms (NULL-skip)
+    out = sparql_select(
+        triples,
+        PFX + "SELECT (SUM(?n) AS ?tot) WHERE { ?s e:name ?n }")
+    assert [tuple(r) for r in out.collect()] == [(None,)]
+
+
+def test_exec_ask(triples):
+    from pyrml_spark.kg.sparql import sparql_ask
+
+    assert sparql_ask(
+        triples, PFX + "ASK { ?s a e:Person }") is True
+    assert sparql_ask(
+        triples, PFX + "ASK { ?s a e:Robot }") is False
+    assert sparql_ask(
+        triples,
+        PFX + 'ASK { ?s e:name ?n FILTER(LANG(?n) = "de") }') is False
+    with pytest.raises(SPARQLError, match="sparql_ask got a SELECT"):
+        sparql_ask(triples, PFX + "SELECT ?s WHERE { ?s a e:Person }")
+
+
+def test_exec_construct(triples):
+    from pyrml_spark.kg.sparql import sparql_construct
+
+    out = sparql_construct(
+        triples,
+        PFX + "CONSTRUCT { ?a e:peer ?b . ?a a e:Known } "
+        "WHERE { ?a e:knows ?b }")
+    assert out.columns == ["s", "p", "o"]
+    assert _rows(out) == sorted([
+        ("<http://e/alice>", "<http://e/peer>", "<http://e/bob>"),
+        ("<http://e/bob>", "<http://e/peer>", "<http://e/alice>"),
+        ("<http://e/alice>", RDF_TYPE, "<http://e/Known>"),
+        ("<http://e/bob>", RDF_TYPE, "<http://e/Known>"),
+    ])
+    # literal subject instantiations are skipped per the spec
+    out = sparql_construct(
+        triples,
+        PFX + "CONSTRUCT { ?n e:of ?s } WHERE { ?s e:name ?n }")
+    assert _rows(out) == []
+    # unbound template var is loud
+    with pytest.raises(SPARQLError, match="not bound"):
+        sparql_construct(
+            triples,
+            PFX + "CONSTRUCT { ?s e:x ?zz } WHERE { ?s a e:Person }")
+
+
+def test_exec_construct_optional_null_dropped(triples):
+    from pyrml_spark.kg.sparql import sparql_construct
+
+    # bob's age fails the OPTIONAL filter → NULL ?a → instantiation
+    # skipped for bob, kept for alice
+    out = sparql_construct(
+        triples,
+        PFX + "CONSTRUCT { ?s e:adultAge ?a } WHERE "
+        "{ ?s a e:Person OPTIONAL { ?s e:age ?a FILTER(?a >= 18) } }")
+    assert _rows(out) == [
+        ("<http://e/alice>", "<http://e/adultAge>",
+         '"31"^^<http://www.w3.org/2001/XMLSchema#integer>')]
 
 
 def test_exec_plan_is_pruned_and_joined(triples):
