@@ -73,6 +73,7 @@ HEADLINE = [
     "kg_bgp_query",
     "kg_bgp_from_sink",
     "kg_query_2hop",
+    "kg_sparql_query",
     "kg_pagerank",
 ]
 

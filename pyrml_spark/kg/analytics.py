@@ -212,6 +212,16 @@ CONSTRUCT { ?person kg:mentionedIn ?doc }
 WHERE { ?doc kg:mentions ?person }
 """
 
+SPARQL_PATH_QUERY = """
+PREFIX kg: <http://kg.ex/p/>
+PREFIX owl: <http://www.w3.org/2002/07/owl#>
+SELECT DISTINCT ?alias ?kind WHERE {
+  ?alias owl:sameAs+ ?canon .
+  ?doc kg:mentions ?canon .
+  ?doc kg:hasMedia/kg:mediaKind ?kind
+}
+"""
+
 
 def kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY aggregation through the SPARQL surface (media assets and
@@ -241,6 +251,19 @@ def kg_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return sparql_construct(_sink_triples(spark, sf_dir),
                             SPARQL_CONSTRUCT_QUERY)
+
+
+def kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property paths through the SPARQL surface: a ``sameAs+``
+    transitive closure (pointer-doubling) joined through mentions into
+    a ``hasMedia/mediaKind`` sequence (desugared to plain BGP patterns
+    with a hidden variable). The DuckDB oracle recomputes the closure
+    with a recursive CTE — two independent fixpoint algorithms,
+    identical rows."""
+    from .sparql import sparql_select
+
+    return sparql_select(_sink_triples(spark, sf_dir), SPARQL_PATH_QUERY,
+                         stats="auto")
 
 
 def kg_query_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -430,11 +430,36 @@ SELECT DISTINCT m.o AS s, '<http://kg.ex/p/mentionedIn>' AS p, m.s AS o
 FROM t m WHERE m.p = '<http://kg.ex/p/mentions>'
 """
 
+# SPARQL property paths (analytics.SPARQL_PATH_QUERY): the sameAs+
+# closure is recomputed here with a RECURSIVE CTE — an independent
+# fixpoint algorithm against the engine's pointer-doubling closure
+ORACLE_KG_SPARQL_PATH = (
+    _GEN_PREFIX.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    + _TRIPLES_CTES + """
+, t AS (
+  SELECT DISTINCT s, p, o FROM (
+    SELECT * FROM rewritten UNION ALL SELECT * FROM sameas
+  )
+),
+sameas_closure(a, b) AS (
+  SELECT s, o FROM t WHERE p = '<http://www.w3.org/2002/07/owl#sameAs>'
+  UNION
+  SELECT c.a, e.o FROM sameas_closure c
+  JOIN t e ON e.p = '<http://www.w3.org/2002/07/owl#sameAs>'
+          AND e.s = c.b
+)
+SELECT DISTINCT c.a AS alias, k.o AS kind
+FROM sameas_closure c
+JOIN t m ON m.p = '<http://kg.ex/p/mentions>' AND m.o = c.b
+JOIN t h ON h.p = '<http://kg.ex/p/hasMedia>' AND h.s = m.s
+JOIN t k ON k.p = '<http://kg.ex/p/mediaKind>' AND k.s = h.o
+""")
+
 
 from .analytics import (kg_bgp_from_sink, kg_bgp_query,  # noqa: E402
                         kg_pagerank, kg_query_2hop, kg_sparql_agg,
                         kg_sparql_construct, kg_sparql_optional,
-                        kg_sparql_query)
+                        kg_sparql_path, kg_sparql_query)
 
 KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_documents": kg_documents,
@@ -462,6 +487,8 @@ KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_agg": kg_sparql_agg,
     "kg_sparql_optional": kg_sparql_optional,
     "kg_sparql_construct": kg_sparql_construct,
+    # property paths (sameAs+ closure + sequence desugar), pytest-only
+    "kg_sparql_path": kg_sparql_path,
 }
 
 KG_ORACLES: Dict[str, str] = {
@@ -479,4 +506,5 @@ KG_ORACLES: Dict[str, str] = {
     "kg_sparql_agg": ORACLE_KG_SPARQL_AGG,
     "kg_sparql_optional": ORACLE_KG_SPARQL_OPTIONAL,
     "kg_sparql_construct": ORACLE_KG_SPARQL_CONSTRUCT,
+    "kg_sparql_path": ORACLE_KG_SPARQL_PATH,
 }

@@ -35,6 +35,17 @@ at parse time — loud, never a silent approximation):
   rules SPARQL gives numeric tokens). Constants are rendered to the
   engine's N-Triples term encoding — the triples table's native column
   format — so matching is exact string equality at the scan.
+* Property paths in verb position: ``^p`` (inverse), ``p/q``
+  (sequence), ``p|q`` (alternation), ``p+ p* p?`` (closures), grouping
+  ``( )``. Sequences and inverses DESUGAR into plain triple patterns
+  with fresh hidden variables — they keep the BGP compiler's pruned
+  scans and join ordering. Alternation of plain IRIs is one
+  ``p IN (...)`` scan; closures run pointer-doubling transitive closure
+  (O(log diameter) rounds, the CC machinery's shape). Zero-length
+  paths (``* ?``) connect every node OCCURRING IN THE GRAPH to itself —
+  a constant endpoint absent from the graph misses its spec-mandated
+  self-solution (documented deviation). Negated property sets ``!(...)``
+  stay loud; alternation/closure inside OPTIONAL/UNION stay loud.
 * ``FILTER`` expressions: ``&&  ||  !  ( )``, comparisons
   ``= != < > <= >=``, and the functions ``STR LANG REGEX STRSTARTS
   STRENDS CONTAINS STRLEN isIRI isURI isLiteral isBlank``.
@@ -128,7 +139,7 @@ _TOKEN_RE = re.compile(
                       |\d+[eE][+-]?\d+
                       |\d+))
     | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,=<>!*\[\]/|^+])
+    | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,=<>!*\[\]/|^+?])
     """,
     re.X,
 )
@@ -170,6 +181,60 @@ class Aggregate:
     alias: str
 
 
+# --- property-path AST (SPARQL 1.1 §9) -------------------------------
+#
+# Sequences and inverses DESUGAR to plain triple patterns at parse time
+# (fresh hidden variables), so `p/q` and `^p` keep the BGP compiler's
+# predicate-pruned scans and join ordering. Alternation and the
+# closures (+ * ?) cannot be expressed as a static BGP; they become
+# PATH PATTERNS evaluated as edge DataFrames and joined into the
+# solution bag (see _path_edges).
+
+@dataclass
+class PathIri:
+    iri: str
+
+
+@dataclass
+class PathInv:
+    inner: "PathNode"
+
+
+@dataclass
+class PathSeq:
+    parts: List["PathNode"]
+
+
+@dataclass
+class PathAlt:
+    parts: List["PathNode"]
+
+
+@dataclass
+class PathMod:
+    inner: "PathNode"
+    mod: str                   # '+' | '*' | '?'
+
+
+PathNode = object  # union of the five dataclasses above
+
+
+def _invert(path) -> "PathNode":
+    """Push ``^`` down to the leaves: ^(a/b) = ^b/^a, ^(a|b) = ^a|^b,
+    ^(p+) = (^p)+, ^^p = p."""
+    if isinstance(path, PathIri):
+        return PathInv(path)
+    if isinstance(path, PathInv):
+        return path.inner
+    if isinstance(path, PathSeq):
+        return PathSeq([_invert(p) for p in reversed(path.parts)])
+    if isinstance(path, PathAlt):
+        return PathAlt([_invert(p) for p in path.parts])
+    if isinstance(path, PathMod):
+        return PathMod(_invert(path.inner), path.mod)
+    raise AssertionError(path)
+
+
 @dataclass
 class ParsedQuery:
     """Inspectable parse result — everything the executors hand to the
@@ -189,6 +254,13 @@ class ParsedQuery:
     aggregates: List[Aggregate] = field(default_factory=list)
     group_by: List[str] = field(default_factory=list)
     template: List[Tuple[str, str, str]] = field(default_factory=list)
+    # non-BGP-expressible property paths (alternation / closures) in the
+    # required group: (s_term, PathNode, o_term)
+    path_patterns: List[Tuple[str, object, str]] = field(
+        default_factory=list)
+    # fresh variables introduced by path desugaring — dropped from the
+    # solution bag before projection/aggregation
+    hidden_vars: List[str] = field(default_factory=list)
     order_by: List[Tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: Optional[int] = None
     offset: Optional[int] = None
@@ -201,6 +273,9 @@ class _Parser:
         self.prefixes: Dict[str, str] = {}
         self.base: Optional[str] = None
         self.vars_seen: List[str] = []
+        self._fresh = 0
+        self._pending_paths: List[Tuple[str, object, str]] = []
+        self._hidden: List[str] = []
 
     # -- token helpers ----------------------------------------------
     def peek(self) -> _Tok:
@@ -557,10 +632,19 @@ class _Parser:
                 # a single braced group is just a group
                 pq.patterns, pq.filters = sides[0]
             else:
+                if self._pending_paths:
+                    raise SPARQLUnsupportedError(
+                        "alternation/closure property paths inside "
+                        "UNION sides are outside the supported subset "
+                        "(use them in a non-union group)")
                 pq.union_groups = sides
         else:
             pq.patterns, pq.filters, pq.optionals = self._group(
                 allow_compound=True)
+        pq.path_patterns = self._pending_paths
+        pq.hidden_vars = self._hidden
+        self._pending_paths = []
+        self._hidden = []
         return pq
 
     def _group(self, allow_compound: bool) -> Tuple[
@@ -596,7 +680,13 @@ class _Parser:
                         "supported subset (one level of compounding)")
                 self.next()
                 self.expect_op("{")
+                n_paths = len(self._pending_paths)
                 o_pats, o_fils, _ = self._group(allow_compound=False)
+                if len(self._pending_paths) > n_paths:
+                    raise SPARQLUnsupportedError(
+                        "alternation/closure property paths inside "
+                        "OPTIONAL are outside the supported subset "
+                        "(use them in the required group)")
                 if not o_pats:
                     raise SPARQLError(
                         f"OPTIONAL group at offset {t.pos} contains no "
@@ -617,19 +707,28 @@ class _Parser:
 
     def _triples_block(self) -> List[Tuple[str, str, str]]:
         """subject predObjList — one triples block starting at the
-        current token."""
+        current token. Property paths in verb position desugar here:
+        sequences/inverses into plain patterns (fresh hidden variables),
+        alternations/closures into ``self._pending_paths`` entries."""
         out: List[Tuple[str, str, str]] = []
         subj = self._term("subject")
         while True:  # verb objectList (';' verb objectList)*
-            pred = self._term("predicate")
-            nxt = self.peek()
-            if nxt.kind == "OP" and nxt.text in "/|^*+":
-                raise SPARQLUnsupportedError(
-                    f"property path operator {nxt.text!r} at offset "
-                    f"{nxt.pos} is outside the supported subset")
+            if self.peek().kind == "VAR":
+                pred = self._term("predicate")
+                nxt = self.peek()
+                if nxt.kind == "OP" and nxt.text in "/|^*+?":
+                    raise SPARQLError(
+                        f"path operator {nxt.text!r} at offset {nxt.pos} "
+                        "after a variable predicate (SPARQL paths are "
+                        "built from IRIs only)")
+            else:
+                pred = self._path_alt()
             while True:  # object (',' object)*
                 obj = self._term("object")
-                out.append((subj, pred, obj))
+                if isinstance(pred, str):
+                    out.append((subj, pred, obj))
+                else:
+                    out.extend(self._desugar_path(subj, pred, obj))
                 if self.peek().kind == "OP" and self.peek().text == ",":
                     self.next()
                     continue
@@ -642,6 +741,92 @@ class _Parser:
                 continue
             break
         return out
+
+    # -- property paths ----------------------------------------------
+
+    def _path_alt(self):
+        """Verb-position path grammar. Returns a plain verb string when
+        the path is a single IRI (the fast BGP route), else a PathNode."""
+        parts = [self._path_seq()]
+        while self.peek().kind == "OP" and self.peek().text == "|":
+            self.next()
+            parts.append(self._path_seq())
+        node = parts[0] if len(parts) == 1 else PathAlt(parts)
+        if isinstance(node, PathIri):
+            return node.iri
+        return node
+
+    def _path_seq(self):
+        parts = [self._path_elt()]
+        while self.peek().kind == "OP" and self.peek().text == "/":
+            self.next()
+            parts.append(self._path_elt())
+        return parts[0] if len(parts) == 1 else PathSeq(parts)
+
+    def _path_elt(self):
+        inv = False
+        if self.peek().kind == "OP" and self.peek().text == "^":
+            self.next()
+            inv = True
+        node = self._path_primary()
+        t = self.peek()
+        if t.kind == "OP" and t.text in "+*?":
+            self.next()
+            node = PathMod(node, t.text)
+        return _invert(node) if inv else node
+
+    def _path_primary(self):
+        t = self.peek()
+        if t.kind == "OP" and t.text == "(":
+            self.next()
+            inner = self._path_alt()
+            self.expect_op(")")
+            if isinstance(inner, str):
+                inner = PathIri(inner)
+            return inner
+        if t.kind == "OP" and t.text == "!":
+            raise SPARQLUnsupportedError(
+                f"negated property set at offset {t.pos} is outside the "
+                "supported subset")
+        # an IRI / pname / 'a' — reuse predicate-position term parsing
+        verb = self._term("predicate")
+        return PathIri(verb)
+
+    def _fresh_var(self) -> str:
+        while True:
+            name = f"_path{self._fresh}"
+            self._fresh += 1
+            if name not in self.vars_seen:
+                self._hidden.append(name)
+                return name
+
+    def _desugar_path(self, subj: str, path, obj: str) -> List[
+            Tuple[str, str, str]]:
+        """(subj, path, obj) → plain patterns where statically possible
+        (PathIri, PathInv leaf, PathSeq chains) plus pending path
+        patterns for alternation/closure segments."""
+        if isinstance(path, PathIri):
+            return [(subj, path.iri, obj)]
+        if isinstance(path, PathInv):
+            assert isinstance(path.inner, PathIri)  # _invert() pushed down
+            return [(obj, path.inner.iri, subj)]
+        if isinstance(path, PathSeq):
+            out: List[Tuple[str, str, str]] = []
+            cur = subj
+            for k, part in enumerate(path.parts):
+                last = k == len(path.parts) - 1
+                nxt = obj if last else "?" + self._fresh_var()
+                out.extend(self._desugar_path(cur, part, nxt))
+                cur = nxt
+            return out
+        # alternation / closure: an edge-frame pattern for the executor
+        self._pending_paths.append((subj, path, obj))
+        for t in (subj, obj):
+            if is_var(t):
+                v = t[1:]
+                if v not in self.vars_seen:
+                    self.vars_seen.append(v)
+        return []
 
     def _order_by(self) -> List[Tuple[str, bool]]:
         if not self.at_kw("order"):
@@ -945,8 +1130,120 @@ def _bound_vars(pq: ParsedQuery) -> set:
     """Variable names bound by any pattern of the WHERE clause."""
     groups = ([pq.patterns] + [p for p, _ in pq.optionals]
               + [p for p, _ in (pq.union_groups or [])])
-    return {t[1:] for pats in groups for pat in pats for t in pat
-            if is_var(t)}
+    out = {t[1:] for pats in groups for pat in pats for t in pat
+           if is_var(t)}
+    for s, _, o in pq.path_patterns:
+        out |= {t[1:] for t in (s, o) if is_var(t)}
+    return out
+
+
+# ------------------------------------------------- property-path eval
+
+
+def _closure(edges: DataFrame) -> DataFrame:
+    """Transitive closure of an (_a, _b) edge frame by pointer doubling
+    (R ← R ∪ R⋈R each round) — O(log diameter) rounds, the same
+    convergence shape as the canonicalizer's connected components
+    (kg/canonicalize.py). Each round is one equi-join + distinct;
+    ``localCheckpoint`` cuts the lineage so round N is one job, not N.
+    Monotone growth makes the count-stable test a correct fixpoint
+    check."""
+    r = edges.distinct().localCheckpoint(eager=True)
+    n = r.count()
+    while True:
+        step = (r.alias("l")
+                .join(r.alias("r2"), F.col("l._b") == F.col("r2._a"))
+                .select(F.col("l._a").alias("_a"),
+                        F.col("r2._b").alias("_b")))
+        nxt = r.unionByName(step).distinct().localCheckpoint(eager=True)
+        m = nxt.count()
+        if m == n:
+            return nxt
+        r, n = nxt, m
+
+
+def _graph_nodes(triples: DataFrame) -> DataFrame:
+    """Distinct terms occurring as subject or object — the domain of
+    SPARQL's zero-length path. Documented deviation: a CONSTANT endpoint
+    that appears nowhere in the graph does not yield its spec-mandated
+    zero-length self-solution (the node table can't contain it)."""
+    return (triples.select(F.col("s").alias("_n"))
+            .unionByName(triples.select(F.col("o").alias("_n")))
+            .distinct())
+
+
+def _path_edges(triples: DataFrame, path) -> DataFrame:
+    """A path expression → its (_a, _b) edge DataFrame.
+
+    * ``PathIri`` — one predicate-pruned scan;
+    * ``PathAlt`` of plain IRIs — a single ``p IN (...)`` scan (still
+      one pushed filter, no union);
+    * general ``PathAlt`` — unionByName of the sides;
+    * ``PathInv`` / ``PathSeq`` — swap / equi-join (these only appear
+      here nested under a closure; top-level ones desugared to BGP);
+    * ``PathMod`` — + is the pointer-doubling closure, * adds the
+      zero-length identity over the graph's node set, ? is edges ∪
+      identity.
+
+    Scale note: a closure is evaluated on the FULL predicate-pruned
+    edge set and endpoint constants filter afterwards — correct but not
+    seeded; a bound-endpoint breadth-first seed (the spec's ALP) is the
+    optimization path if closures over huge predicates become hot."""
+    if isinstance(path, PathIri):
+        return (triples.filter(F.col("p") == F.lit(path.iri))
+                .select(F.col("s").alias("_a"), F.col("o").alias("_b")))
+    if isinstance(path, PathInv):
+        e = _path_edges(triples, path.inner)
+        return e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+    if isinstance(path, PathAlt):
+        if all(isinstance(p, PathIri) for p in path.parts):
+            iris = [p.iri for p in path.parts]
+            return (triples.filter(F.col("p").isin(iris))
+                    .select(F.col("s").alias("_a"),
+                            F.col("o").alias("_b")))
+        out = _path_edges(triples, path.parts[0])
+        for p in path.parts[1:]:
+            out = out.unionByName(_path_edges(triples, p))
+        return out
+    if isinstance(path, PathSeq):
+        out = _path_edges(triples, path.parts[0])
+        for p in path.parts[1:]:
+            nxt = _path_edges(triples, p)
+            out = (out.alias("l")
+                   .join(nxt.alias("r2"),
+                         F.col("l._b") == F.col("r2._a"))
+                   .select(F.col("l._a").alias("_a"),
+                           F.col("r2._b").alias("_b")))
+        return out
+    if isinstance(path, PathMod):
+        e = _path_edges(triples, path.inner)
+        if path.mod == "+":
+            return _closure(e)
+        ident = _graph_nodes(triples).select(
+            F.col("_n").alias("_a"), F.col("_n").alias("_b"))
+        base = _closure(e) if path.mod == "*" else e
+        return base.unionByName(ident).distinct()
+    raise AssertionError(path)
+
+
+def _path_pattern_df(triples: DataFrame, s_term: str, path,
+                     o_term: str) -> DataFrame:
+    """One path pattern → a DataFrame over its variable endpoints."""
+    e = _path_edges(triples, path)
+    cols = []
+    for pos, t in (("_a", s_term), ("_b", o_term)):
+        if is_var(t):
+            cols.append((pos, t[1:]))
+        else:
+            e = e.filter(F.col(pos) == F.lit(t))
+    if len(cols) == 2 and cols[0][1] == cols[1][1]:
+        # ?x path ?x — intra-row equality
+        e = e.filter(F.col("_a") == F.col("_b"))
+        cols = cols[:1]
+    if not cols:
+        raise SPARQLError(
+            f"path pattern ({s_term}, ..., {o_term}) binds no variable")
+    return e.select(*[F.col(pos).alias(v) for pos, v in cols])
 
 
 # ---------------------------------------------------------- public API
@@ -999,10 +1296,31 @@ def _bindings(triples: DataFrame, pq: ParsedQuery, stats) -> DataFrame:
             out = out.unionByName(df)
         return out
 
-    if stats == "auto" and pq.optionals:
+    if stats == "auto" and (pq.optionals or pq.path_patterns):
         from .query import predicate_stats
         stats = predicate_stats(triples)
-    out = _run_bgp(triples, pq.patterns, pq.filters, stats)
+    out = None
+    if pq.patterns:
+        out = _run_bgp(triples, pq.patterns, pq.filters, stats)
+    elif pq.filters:
+        raise SPARQLError(
+            "FILTER with no plain triple pattern in the group (filters "
+            "over path-pattern variables are not yet placed — bind the "
+            "variable with a plain pattern too)")
+    for s_term, path, o_term in pq.path_patterns:
+        pdf = _path_pattern_df(triples, s_term, path, o_term)
+        if out is None:
+            out = pdf
+            continue
+        shared = [c for c in pdf.columns if c in out.columns]
+        if not shared:
+            raise SPARQLError(
+                f"path pattern ({s_term}, ..., {o_term}) shares no "
+                "variable with the preceding patterns — a cartesian "
+                "product; add a bridging pattern")
+        out = out.join(pdf, on=shared)
+    if out is None:
+        raise SPARQLError("empty WHERE group")
     for o_pats, o_fils in pq.optionals:
         right = _run_bgp(triples, o_pats, o_fils, stats)
         shared = [c for c in right.columns if c in out.columns]
@@ -1012,6 +1330,9 @@ def _bindings(triples: DataFrame, pq: ParsedQuery, stats) -> DataFrame:
                 "required group — a cartesian extension; add a joining "
                 "variable")
         out = out.join(right, on=shared, how="left")
+    if pq.hidden_vars:
+        keep = [c for c in out.columns if c not in pq.hidden_vars]
+        out = out.select(*keep)
     return out
 
 

@@ -109,8 +109,6 @@ def test_filter_unbound_variable_is_loud():
     ("SELECT ?s WHERE { GRAPH <http://g> { ?s <http://e/p> ?o } }",
      "GRAPH"),
     ("SELECT ?s WHERE { BIND(1 AS ?x) . ?s <http://e/p> ?x }", "BIND"),
-    ("SELECT ?s WHERE { ?s <http://e/p>/<http://e/q> ?o }",
-     "property path"),
     ("SELECT ?s WHERE { ?s <http://e/p> [ <http://e/q> ?o ] }",
      "blank node"),
     ("SELECT ?s WHERE { ?s <http://e/p> ?o FILTER(ABS(?o) > 1) }",
@@ -461,3 +459,114 @@ def test_exec_plan_is_pruned_and_joined(triples):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------ property paths
+
+
+def test_parse_path_desugar():
+    # sequence → fresh hidden chain vars, pure BGP
+    pq = parse_select(
+        "PREFIX e: <http://e/> SELECT ?s ?k WHERE "
+        "{ ?s e:p/e:q/e:r ?k }")
+    assert len(pq.patterns) == 3 and not pq.path_patterns
+    assert pq.patterns[0][0] == "?s" and pq.patterns[2][2] == "?k"
+    mid = pq.patterns[0][2]
+    assert mid.startswith("?_path") and pq.hidden_vars
+    # inverse leaf swaps subject/object
+    pq = parse_select(
+        "PREFIX e: <http://e/> SELECT ?s WHERE { ?s ^e:p ?o }")
+    assert pq.patterns == [("?o", "<http://e/p>", "?s")]
+    # inverse distributes over a sequence: x ^(p/q) y ≡ y p ?m . ?m q x
+    pq = parse_select(
+        "PREFIX e: <http://e/> SELECT ?s WHERE { ?s ^(e:p/e:q) ?o }")
+    assert len(pq.patterns) == 2 and not pq.path_patterns
+    by_pred = {p[1]: p for p in pq.patterns}
+    mid = by_pred["<http://e/p>"][2]
+    assert by_pred["<http://e/p>"][0] == "?o" and mid.startswith("?_path")
+    assert by_pred["<http://e/q>"] == (mid, "<http://e/q>", "?s")
+    # closure → path pattern, no plain pattern
+    pq = parse_select(
+        "PREFIX e: <http://e/> SELECT ?a ?b WHERE { ?a e:p+ ?b }")
+    assert not pq.patterns and len(pq.path_patterns) == 1
+    # variable predicate followed by a path operator is loud
+    with pytest.raises(SPARQLError, match="variable predicate"):
+        parse_select("SELECT ?s WHERE { ?s ?p+ ?o }")
+    # negated property set is loud
+    with pytest.raises(SPARQLUnsupportedError, match="negated"):
+        parse_select(
+            "PREFIX e: <http://e/> SELECT ?s WHERE { ?s !(e:p) ?o }")
+    # closures inside OPTIONAL are loud
+    with pytest.raises(SPARQLUnsupportedError, match="OPTIONAL"):
+        parse_select(
+            "PREFIX e: <http://e/> SELECT ?s WHERE "
+            "{ ?s e:p ?o OPTIONAL { ?o e:q+ ?z } }")
+
+
+CHAIN = [  # a 4-node chain with a side branch and a cycle-free tree
+    ("<http://c/1>", "<http://c/next>", "<http://c/2>"),
+    ("<http://c/2>", "<http://c/next>", "<http://c/3>"),
+    ("<http://c/3>", "<http://c/next>", "<http://c/4>"),
+    ("<http://c/2>", "<http://c/alt>", "<http://c/5>"),
+]
+
+CPFX = "PREFIX c: <http://c/> "
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    return spark.createDataFrame(CHAIN, ["s", "p", "o"]).cache()
+
+
+def test_exec_path_sequence_and_inverse(chain):
+    out = sparql_select(chain, CPFX + "SELECT ?a ?b WHERE "
+                        "{ ?a c:next/c:next ?b }")
+    assert _rows(out) == [("<http://c/1>", "<http://c/3>"),
+                          ("<http://c/2>", "<http://c/4>")]
+    out = sparql_select(chain, CPFX + "SELECT ?b WHERE "
+                        "{ <http://c/3> ^c:next ?b }")
+    assert _rows(out) == [("<http://c/2>",)]
+
+
+def test_exec_path_alternation(chain):
+    out = sparql_select(chain, CPFX + "SELECT ?b WHERE "
+                        "{ <http://c/2> (c:next|c:alt) ?b }")
+    assert _rows(out) == [("<http://c/3>",), ("<http://c/5>",)]
+
+
+def test_exec_path_plus_closure(chain):
+    out = sparql_select(chain, CPFX + "SELECT ?b WHERE "
+                        "{ <http://c/1> c:next+ ?b }")
+    assert _rows(out) == [("<http://c/2>",), ("<http://c/3>",),
+                          ("<http://c/4>",)]
+    # closure joined with a plain pattern (shared var)
+    out = sparql_select(chain, CPFX + "SELECT ?a WHERE "
+                        "{ ?a c:next+ ?b . ?b c:alt ?c }")
+    assert _rows(out) == [("<http://c/1>",)]
+
+
+def test_exec_path_star_and_opt(chain):
+    # zero-or-more includes the zero-length self-solution
+    out = sparql_select(chain, CPFX + "SELECT ?b WHERE "
+                        "{ <http://c/3> c:next* ?b }")
+    assert _rows(out) == [("<http://c/3>",), ("<http://c/4>",)]
+    out = sparql_select(chain, CPFX + "SELECT ?b WHERE "
+                        "{ <http://c/4> c:next? ?b }")
+    assert _rows(out) == [("<http://c/4>",)]
+
+
+def test_exec_path_nested_closure(chain):
+    # closure OVER an alternation: every node 2 reaches via next|alt
+    out = sparql_select(chain, CPFX + "SELECT ?b WHERE "
+                        "{ <http://c/2> (c:next|c:alt)+ ?b }")
+    assert _rows(out) == [("<http://c/3>",), ("<http://c/4>",),
+                          ("<http://c/5>",)]
+
+
+def test_exec_path_construct_combo(chain):
+    from pyrml_spark.kg.sparql import sparql_construct
+
+    out = sparql_construct(
+        chain, CPFX + "CONSTRUCT { ?a c:reaches ?b } WHERE "
+        "{ ?a c:next+ ?b }")
+    assert out.count() == 6  # 3+2+1 reachable pairs
