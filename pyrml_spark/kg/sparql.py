@@ -49,6 +49,14 @@ at parse time — loud, never a silent approximation):
 * ``FILTER`` expressions: ``&&  ||  !  ( )``, comparisons
   ``= != < > <= >=``, and the functions ``STR LANG REGEX STRSTARTS
   STRENDS CONTAINS STRLEN isIRI isURI isLiteral isBlank``.
+* ``FILTER [NOT] EXISTS { patterns FILTER... }`` as a whole constraint
+  (semi/anti join on the shared variables — uncorrelated EXISTS is
+  loud) and ``MINUS { ... }`` (anti join; a MINUS side sharing no
+  variable removes nothing, per the spec's compatibility rule). Both
+  evaluate against the required-group bag — their shared variables
+  must be bound there, not introduced by an OPTIONAL (an SQL join key
+  cannot express SPARQL's unbound-is-compatible rule; loud subset
+  boundary, not an approximation).
 * ``ORDER BY [ASC|DESC](?v) ...``, ``LIMIT n``, ``OFFSET n``.
 * ``CONSTRUCT { template }``: each solution instantiates the template
   triples; instantiations with an unbound position, a literal subject,
@@ -120,7 +128,7 @@ _KEYWORDS = {
 # recognized-and-rejected: name the construct in the error instead of a
 # generic parse failure (these are the SPARQL features OUTSIDE the subset)
 _UNSUPPORTED_KEYWORDS = {
-    "minus", "graph", "bind", "values", "service", "exists", "not",
+    "graph", "bind", "values", "service",
     "describe", "having", "sample", "group_concat",
 }
 
@@ -258,6 +266,15 @@ class ParsedQuery:
     # required group: (s_term, PathNode, o_term)
     path_patterns: List[Tuple[str, object, str]] = field(
         default_factory=list)
+    # MINUS { … } groups: anti-joined on shared vars (spec: a MINUS
+    # side sharing no variable removes nothing)
+    minus_groups: List[Tuple[List[Tuple[str, str, str]], List[str]]] = \
+        field(default_factory=list)
+    # FILTER [NOT] EXISTS { … }: (positive?, patterns, filters) —
+    # semi/anti join on the shared variables
+    exists_filters: List[
+        Tuple[bool, List[Tuple[str, str, str]], List[str]]] = field(
+        default_factory=list)
     # fresh variables introduced by path desugaring — dropped from the
     # solution bag before projection/aggregation
     hidden_vars: List[str] = field(default_factory=list)
@@ -276,6 +293,8 @@ class _Parser:
         self._fresh = 0
         self._pending_paths: List[Tuple[str, object, str]] = []
         self._hidden: List[str] = []
+        self._pending_minus: List[tuple] = []
+        self._pending_exists: List[tuple] = []
 
     # -- token helpers ----------------------------------------------
     def peek(self) -> _Tok:
@@ -306,9 +325,10 @@ class _Parser:
         if t.kind == "NAME" and t.text.lower() in _UNSUPPORTED_KEYWORDS:
             raise SPARQLUnsupportedError(
                 f"{t.text.upper()} (offset {t.pos}) is outside the "
-                "supported SPARQL subset (BGP + FILTER + ORDER/LIMIT/"
-                "OFFSET; no OPTIONAL/UNION/MINUS/GRAPH/BIND/VALUES/"
-                "aggregates/subqueries/property paths)")
+                "supported SPARQL subset (BGP + property paths + FILTER "
+                "[NOT] EXISTS + OPTIONAL + MINUS + top-level UNION + "
+                "aggregates + ORDER/LIMIT/OFFSET; no GRAPH/BIND/VALUES/"
+                "subqueries)")
 
     # -- terms -------------------------------------------------------
     def _expand_pname(self, text: str, pos: int) -> str:
@@ -643,8 +663,17 @@ class _Parser:
                 allow_compound=True)
         pq.path_patterns = self._pending_paths
         pq.hidden_vars = self._hidden
+        pq.minus_groups = self._pending_minus
+        pq.exists_filters = self._pending_exists
         self._pending_paths = []
         self._hidden = []
+        self._pending_minus = []
+        self._pending_exists = []
+        if pq.union_groups is not None and (pq.minus_groups
+                                            or pq.exists_filters):
+            raise SPARQLUnsupportedError(
+                "MINUS / FILTER EXISTS combined with the top-level "
+                "UNION form is outside the supported subset")
         return pq
 
     def _group(self, allow_compound: bool) -> Tuple[
@@ -670,7 +699,54 @@ class _Parser:
                 continue
             if self.at_kw("filter"):
                 self.next()
+                positive = None
+                if self.at_kw("exists"):
+                    self.next()
+                    positive = True
+                elif self.at_kw("not"):
+                    self.next()
+                    self.expect_kw("exists")
+                    positive = False
+                if positive is not None:
+                    if not allow_compound:
+                        raise SPARQLUnsupportedError(
+                            f"FILTER [NOT] EXISTS at offset {t.pos} "
+                            "inside OPTIONAL/UNION is outside the "
+                            "supported subset")
+                    self.expect_op("{")
+                    n_paths = len(self._pending_paths)
+                    e_pats, e_fils, _ = self._group(allow_compound=False)
+                    if len(self._pending_paths) > n_paths:
+                        raise SPARQLUnsupportedError(
+                            "alternation/closure property paths inside "
+                            "FILTER [NOT] EXISTS are outside the "
+                            "supported subset")
+                    if not e_pats:
+                        raise SPARQLError(
+                            "FILTER [NOT] EXISTS group contains no "
+                            "triple patterns")
+                    self._pending_exists.append(
+                        (positive, e_pats, e_fils))
+                    continue
                 filters.extend(self._filter_exprs())
+                continue
+            if self.at_kw("minus"):
+                if not allow_compound:
+                    raise SPARQLUnsupportedError(
+                        f"MINUS at offset {t.pos} inside OPTIONAL/UNION "
+                        "is outside the supported subset")
+                self.next()
+                self.expect_op("{")
+                n_paths = len(self._pending_paths)
+                m_pats, m_fils, _ = self._group(allow_compound=False)
+                if len(self._pending_paths) > n_paths:
+                    raise SPARQLUnsupportedError(
+                        "alternation/closure property paths inside "
+                        "MINUS are outside the supported subset")
+                if not m_pats:
+                    raise SPARQLError(
+                        "MINUS group contains no triple patterns")
+                self._pending_minus.append((m_pats, m_fils))
                 continue
             if self.at_kw("optional"):
                 if not allow_compound:
@@ -1074,6 +1150,12 @@ class _Parser:
             pref = {"ISIRI": "<", "ISURI": "<", "ISLITERAL": '"',
                     "ISBLANK": "_"}[name]
             return (self._BOOL, f"(substring({c}, 1, 1) = '{pref}')")
+        if name in ("EXISTS", "NOT"):
+            raise SPARQLUnsupportedError(
+                f"{name} at offset {t.pos} inside a parenthesized FILTER "
+                "expression — write FILTER [NOT] EXISTS { ... } as the "
+                "entire constraint (combining it with &&/|| is outside "
+                "the supported subset)")
         raise SPARQLUnsupportedError(
             f"FILTER function {t.text}(...) at offset {t.pos} is outside "
             "the supported subset (STR LANG REGEX STRSTARTS STRENDS "
@@ -1321,6 +1403,28 @@ def _bindings(triples: DataFrame, pq: ParsedQuery, stats) -> DataFrame:
         out = out.join(pdf, on=shared)
     if out is None:
         raise SPARQLError("empty WHERE group")
+    # EXISTS/MINUS evaluate against the required-group bag (their shared
+    # variables must be bound there — OPTIONAL-introduced NULLs have
+    # SPARQL "compatible" semantics an SQL join key cannot express)
+    for positive, e_pats, e_fils in pq.exists_filters:
+        right = _run_bgp(triples, e_pats, e_fils, stats)
+        shared = [c for c in right.columns if c in out.columns]
+        if not shared:
+            raise SPARQLError(
+                f"FILTER EXISTS group {e_pats} shares no variable with "
+                "the outer group (uncorrelated EXISTS is outside the "
+                "supported subset)")
+        out = out.join(right.select(*shared).distinct(), on=shared,
+                       how="left_semi" if positive else "left_anti")
+    for m_pats, m_fils in pq.minus_groups:
+        right = _run_bgp(triples, m_pats, m_fils, stats)
+        shared = [c for c in right.columns if c in out.columns]
+        if not shared:
+            # SPARQL spec: a MINUS side sharing no variable is never
+            # "compatible" with a solution, so it removes NOTHING
+            continue
+        out = out.join(right.select(*shared).distinct(), on=shared,
+                       how="left_anti")
     for o_pats, o_fils in pq.optionals:
         right = _run_bgp(triples, o_pats, o_fils, stats)
         shared = [c for c in right.columns if c in out.columns]

@@ -125,8 +125,13 @@ def test_filter_unbound_variable_is_loud():
      "SAMPLE"),
     ("SELECT (SUM(?o) AS ?x) WHERE { ?s <http://e/p> ?o } HAVING (?x > 1)",
      "HAVING"),
-    ("SELECT ?s WHERE { ?s <http://e/p> ?o MINUS "
-     "{ ?s <http://e/q> ?o } }", "MINUS"),
+    # MINUS/EXISTS are supported as whole constraints, not inside
+    # parenthesized boolean expressions or OPTIONAL
+    ("SELECT ?s WHERE { ?s <http://e/p> ?o "
+     "FILTER(EXISTS { ?s <http://e/q> ?o } && ?o != 1) }",
+     "entire constraint"),
+    ("SELECT ?s WHERE { ?s <http://e/p> ?o OPTIONAL { "
+     "?s <http://e/q> ?a MINUS { ?s <http://e/r> ?a } } }", "MINUS"),
 ])
 def test_unsupported_constructs_are_loud(query, construct):
     with pytest.raises(SPARQLUnsupportedError, match=construct):
@@ -570,3 +575,55 @@ def test_exec_path_construct_combo(chain):
         chain, CPFX + "CONSTRUCT { ?a c:reaches ?b } WHERE "
         "{ ?a c:next+ ?b }")
     assert out.count() == 6  # 3+2+1 reachable pairs
+
+
+# -------------------------------------------------- MINUS / EXISTS
+
+
+def test_exec_minus(triples):
+    # persons MINUS those who know alice → only alice remains
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s a e:Person "
+        "MINUS { ?s e:knows <http://e/alice> } }")
+    assert _rows(out) == [("<http://e/alice>",)]
+    # disjoint MINUS removes nothing (spec compatibility rule)
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s a e:Person "
+        "MINUS { ?x e:knows ?y } }")
+    assert out.count() == 2
+
+
+def test_exec_exists_and_not_exists(triples):
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s a e:Person "
+        "FILTER EXISTS { ?s e:age ?a } }")
+    assert out.count() == 2
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s ?n WHERE { ?s e:name ?n "
+        "FILTER NOT EXISTS { ?s a e:Person } }")
+    assert _rows(out) == [("<http://e/club>", '"Club"@en')]
+    # EXISTS with an inner filter
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s a e:Person "
+        "FILTER EXISTS { ?s e:age ?a FILTER(?a >= 18) } }")
+    assert _rows(out) == [("<http://e/alice>",)]
+    # uncorrelated EXISTS is loud
+    with pytest.raises(SPARQLError, match="uncorrelated"):
+        sparql_select(
+            triples,
+            PFX + "SELECT ?s WHERE { ?s a e:Person "
+            "FILTER EXISTS { ?x e:missing ?y } }").collect()
+
+
+def test_exec_minus_exists_plan_is_semi_anti(triples):
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s a e:Person "
+        "FILTER NOT EXISTS { ?s e:age ?a } }")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "CartesianProduct" not in plan
