@@ -49,6 +49,10 @@ at parse time — loud, never a silent approximation):
 * ``FILTER`` expressions: ``&&  ||  !  ( )``, comparisons
   ``= != < > <= >=``, and the functions ``STR LANG REGEX STRSTARTS
   STRENDS CONTAINS STRLEN isIRI isURI isLiteral isBlank``.
+* ``VALUES ?x { t ... }`` / ``VALUES (?x ?y) { (t t) (t UNDEF) ... }``
+  — a single bound variable without UNDEF becomes a plain ``IN``
+  filter; otherwise an inline table joined on the shared variables
+  (UNDEF allowed in extension columns, loud in join columns).
 * ``FILTER [NOT] EXISTS { patterns FILTER... }`` as a whole constraint
   (semi/anti join on the shared variables — uncorrelated EXISTS is
   loud) and ``MINUS { ... }`` (anti join; a MINUS side sharing no
@@ -128,7 +132,7 @@ _KEYWORDS = {
 # recognized-and-rejected: name the construct in the error instead of a
 # generic parse failure (these are the SPARQL features OUTSIDE the subset)
 _UNSUPPORTED_KEYWORDS = {
-    "graph", "bind", "values", "service",
+    "graph", "bind", "service",
     "describe", "having", "sample", "group_concat",
 }
 
@@ -275,6 +279,10 @@ class ParsedQuery:
     exists_filters: List[
         Tuple[bool, List[Tuple[str, str, str]], List[str]]] = field(
         default_factory=list)
+    # VALUES clauses: (var names, rows of encoded terms / None=UNDEF)
+    values_clauses: List[
+        Tuple[List[str], List[Tuple[Optional[str], ...]]]] = field(
+        default_factory=list)
     # fresh variables introduced by path desugaring — dropped from the
     # solution bag before projection/aggregation
     hidden_vars: List[str] = field(default_factory=list)
@@ -295,6 +303,7 @@ class _Parser:
         self._hidden: List[str] = []
         self._pending_minus: List[tuple] = []
         self._pending_exists: List[tuple] = []
+        self._pending_values: List[tuple] = []
 
     # -- token helpers ----------------------------------------------
     def peek(self) -> _Tok:
@@ -665,15 +674,18 @@ class _Parser:
         pq.hidden_vars = self._hidden
         pq.minus_groups = self._pending_minus
         pq.exists_filters = self._pending_exists
+        pq.values_clauses = self._pending_values
         self._pending_paths = []
         self._hidden = []
         self._pending_minus = []
         self._pending_exists = []
+        self._pending_values = []
         if pq.union_groups is not None and (pq.minus_groups
-                                            or pq.exists_filters):
+                                            or pq.exists_filters
+                                            or pq.values_clauses):
             raise SPARQLUnsupportedError(
-                "MINUS / FILTER EXISTS combined with the top-level "
-                "UNION form is outside the supported subset")
+                "MINUS / FILTER EXISTS / VALUES combined with the "
+                "top-level UNION form is outside the supported subset")
         return pq
 
     def _group(self, allow_compound: bool) -> Tuple[
@@ -730,6 +742,14 @@ class _Parser:
                     continue
                 filters.extend(self._filter_exprs())
                 continue
+            if self.at_kw("values"):
+                if not allow_compound:
+                    raise SPARQLUnsupportedError(
+                        f"VALUES at offset {t.pos} inside OPTIONAL/"
+                        "UNION is outside the supported subset")
+                self.next()
+                self._pending_values.append(self._values_clause())
+                continue
             if self.at_kw("minus"):
                 if not allow_compound:
                     raise SPARQLUnsupportedError(
@@ -780,6 +800,63 @@ class _Parser:
                     "supported subset (UNION is only supported as the "
                     "top-level {{ group }} UNION {{ group }} form)")
             patterns.extend(self._triples_block())
+
+    def _values_clause(self) -> Tuple[List[str], List[tuple]]:
+        """``VALUES ?x { t ... }`` or ``VALUES (?x ?y) { (t t) ... }``;
+        UNDEF cells become None."""
+        t = self.peek()
+        if t.kind == "VAR":
+            names = [self.next().text[1:]]
+            single = True
+        elif t.kind == "OP" and t.text == "(":
+            self.next()
+            names = []
+            while self.peek().kind == "VAR":
+                names.append(self.next().text[1:])
+            self.expect_op(")")
+            if not names:
+                raise SPARQLError(
+                    f"VALUES with no variables at offset {t.pos}")
+            single = False
+        else:
+            raise SPARQLError(
+                f"expected ?var or (?var ...) after VALUES at offset "
+                f"{t.pos}")
+        for v in names:
+            if v not in self.vars_seen:
+                self.vars_seen.append(v)
+        self.expect_op("{")
+        rows: List[tuple] = []
+        while not (self.peek().kind == "OP" and self.peek().text == "}"):
+            if self.peek().kind == "EOF":
+                raise SPARQLError("unterminated VALUES block")
+            if single:
+                rows.append((self._data_term(),))
+            else:
+                self.expect_op("(")
+                rows.append(tuple(self._data_term() for _ in names))
+                self.expect_op(")")
+        self.next()  # }
+        if not rows:
+            raise SPARQLError("empty VALUES block")
+        return names, rows
+
+    def _data_term(self) -> Optional[str]:
+        """One VALUES data cell → encoded term, or None for UNDEF."""
+        t = self.next()
+        if t.kind == "NAME" and t.text.upper() == "UNDEF":
+            return None
+        if t.kind == "IRIREF":
+            return self._resolve_iriref(t.text)
+        if t.kind == "PNAME":
+            return self._expand_pname(t.text, t.pos)
+        if t.kind == "STRING":
+            return self._string_term(t.text)
+        if t.kind == "NUMBER":
+            return self._number_term(t.text)
+        raise SPARQLError(
+            f"unexpected {t.text!r} in VALUES data at offset {t.pos} "
+            "(terms and UNDEF only — no variables)")
 
     def _triples_block(self) -> List[Tuple[str, str, str]]:
         """subject predObjList — one triples block starting at the
@@ -1216,6 +1293,8 @@ def _bound_vars(pq: ParsedQuery) -> set:
            if is_var(t)}
     for s, _, o in pq.path_patterns:
         out |= {t[1:] for t in (s, o) if is_var(t)}
+    for v_names, _ in pq.values_clauses:
+        out |= set(v_names)
     return out
 
 
@@ -1401,6 +1480,37 @@ def _bindings(triples: DataFrame, pq: ParsedQuery, stats) -> DataFrame:
                 "variable with the preceding patterns — a cartesian "
                 "product; add a bridging pattern")
         out = out.join(pdf, on=shared)
+    for v_names, v_rows in pq.values_clauses:
+        if (out is not None and len(v_names) == 1
+                and v_names[0] in out.columns
+                and all(r[0] is not None for r in v_rows)):
+            # single already-bound variable, no UNDEF: a plain IN filter
+            # — reaches the scans via the compiler-visible column
+            out = out.filter(
+                F.col(v_names[0]).isin([r[0] for r in v_rows]))
+            continue
+        from pyspark.sql import types as T
+        vdf = triples.sparkSession.createDataFrame(
+            v_rows, T.StructType(
+                [T.StructField(v, T.StringType(), True)
+                 for v in v_names]))
+        if out is None:
+            out = vdf
+            continue
+        shared = [c for c in vdf.columns if c in out.columns]
+        if not shared:
+            raise SPARQLError(
+                f"VALUES {v_names} shares no variable with the "
+                "preceding patterns — a cartesian product; bind a "
+                "common variable")
+        if any(r[v_names.index(c)] is None
+               for c in shared for r in v_rows):
+            raise SPARQLUnsupportedError(
+                "UNDEF in a VALUES column that joins an already-bound "
+                "variable is outside the supported subset (an SQL join "
+                "key cannot express SPARQL's unbound-is-compatible "
+                "rule)")
+        out = out.join(vdf, on=shared)
     if out is None:
         raise SPARQLError("empty WHERE group")
     # EXISTS/MINUS evaluate against the required-group bag (their shared

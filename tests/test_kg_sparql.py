@@ -627,3 +627,62 @@ def test_exec_minus_exists_plan_is_semi_anti(triples):
         "FILTER NOT EXISTS { ?s e:age ?a } }")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan and "CartesianProduct" not in plan
+
+
+# -------------------------------------------------------------- VALUES
+
+
+def test_parse_values():
+    pq = parse_select(
+        'SELECT ?x WHERE { ?x <http://e/p> ?o VALUES ?x '
+        '{ <http://e/a> <http://e/b> } }')
+    assert pq.values_clauses == [
+        (["x"], [("<http://e/a>",), ("<http://e/b>",)])]
+    pq = parse_select(
+        'SELECT * WHERE { ?x <http://e/p> ?o VALUES (?x ?z) '
+        '{ (<http://e/a> "v1") (<http://e/b> UNDEF) } }')
+    assert pq.values_clauses == [
+        (["x", "z"], [("<http://e/a>", '"v1"'),
+                      ("<http://e/b>", None)])]
+    with pytest.raises(SPARQLError, match="empty VALUES"):
+        parse_select("SELECT ?x WHERE { ?x <http://e/p> ?o "
+                     "VALUES ?x { } }")
+    with pytest.raises(SPARQLError, match="terms and UNDEF only"):
+        parse_select("SELECT ?x WHERE { ?x <http://e/p> ?o "
+                     "VALUES ?x { ?y } }")
+
+
+def test_exec_values_in_filter(triples):
+    # bound single var, no UNDEF → IN filter path
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s ?n WHERE { ?s e:name ?n "
+        "VALUES ?s { <http://e/alice> <http://e/club> } }")
+    assert _rows(out) == [
+        ("<http://e/alice>", '"Alice"'),
+        ("<http://e/club>", '"Club"@en'),
+    ]
+
+
+def test_exec_values_extension_table(triples):
+    # two-var VALUES joined on ?s, extending with a new ?label column
+    out = sparql_select(
+        triples,
+        PFX + 'SELECT ?s ?label WHERE { ?s a e:Person '
+        'VALUES (?s ?label) { (<http://e/alice> "A") '
+        "(<http://e/bob> UNDEF) } }")
+    rows = sorted((r[0], r[1]) for r in out.collect())
+    assert rows == [("<http://e/alice>", '"A"'), ("<http://e/bob>", None)]
+    # UNDEF in the JOIN column is loud
+    with pytest.raises(SPARQLUnsupportedError, match="UNDEF"):
+        sparql_select(
+            triples,
+            PFX + 'SELECT ?s WHERE { ?s a e:Person '
+            "VALUES ?s { UNDEF } }").collect()
+
+
+def test_exec_values_only_group(triples):
+    out = sparql_select(
+        triples,
+        'SELECT ?x WHERE { VALUES ?x { "a" "b" } }')
+    assert _rows(out) == [('"a"',), ('"b"',)]
