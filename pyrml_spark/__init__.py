@@ -18,5 +18,8 @@ from .compiler import RMLCompiler, convert  # noqa: F401
 from .streaming.rml_stream import convert_stream  # noqa: F401
 from .functions.registry import FunctionRegistry, default_registry  # noqa: F401
 from .parse_mapping import parse_mapping, parse_mapping_file  # noqa: F401
+from .kg.query import kg_query, predicate_stats  # noqa: F401
+from .kg.sparql import (sparql_ask, sparql_construct,  # noqa: F401
+                        sparql_select)
 
 __version__ = "0.1.0"

@@ -222,6 +222,18 @@ SELECT DISTINCT ?alias ?kind WHERE {
 }
 """
 
+# media-only documents: VALUES constrains the kind (the IN-filter path),
+# NOT EXISTS anti-joins away every doc with a mention
+SPARQL_NOTEXISTS_QUERY = """
+PREFIX kg: <http://kg.ex/p/>
+SELECT DISTINCT ?doc ?kind WHERE {
+  ?doc kg:hasMedia ?media .
+  ?media kg:mediaKind ?kind .
+  VALUES ?kind { "audio" "image" }
+  FILTER NOT EXISTS { ?doc kg:mentions ?p }
+}
+"""
+
 
 def kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY aggregation through the SPARQL surface (media assets and
@@ -264,6 +276,16 @@ def kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return sparql_select(_sink_triples(spark, sf_dir), SPARQL_PATH_QUERY,
                          stats="auto")
+
+
+def kg_sparql_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES + FILTER NOT EXISTS through the SPARQL surface:
+    media-carrying documents with no mention at all — the VALUES
+    compiles to an IN filter, the NOT EXISTS to a left_anti join."""
+    from .sparql import sparql_select
+
+    return sparql_select(_sink_triples(spark, sf_dir),
+                         SPARQL_NOTEXISTS_QUERY)
 
 
 def kg_query_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:

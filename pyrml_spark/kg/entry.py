@@ -433,6 +433,24 @@ FROM t m WHERE m.p = '<http://kg.ex/p/mentions>'
 # SPARQL property paths (analytics.SPARQL_PATH_QUERY): the sameAs+
 # closure is recomputed here with a RECURSIVE CTE — an independent
 # fixpoint algorithm against the engine's pointer-doubling closure
+# VALUES (IN filter) + NOT EXISTS (anti join): media-only documents
+ORACLE_KG_SPARQL_NOTEXISTS = _GEN_PREFIX + _TRIPLES_CTES + """
+, t AS (
+  SELECT DISTINCT s, p, o FROM (
+    SELECT * FROM rewritten UNION ALL SELECT * FROM sameas
+  )
+)
+SELECT DISTINCT h.s AS doc, k.o AS kind
+FROM t h
+JOIN t k ON k.p = '<http://kg.ex/p/mediaKind>' AND k.s = h.o
+WHERE h.p = '<http://kg.ex/p/hasMedia>'
+  AND k.o IN ('"audio"', '"image"')
+  AND NOT EXISTS (
+    SELECT 1 FROM t m
+    WHERE m.p = '<http://kg.ex/p/mentions>' AND m.s = h.s
+  )
+"""
+
 ORACLE_KG_SPARQL_PATH = (
     _GEN_PREFIX.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
     + _TRIPLES_CTES + """
@@ -458,8 +476,9 @@ JOIN t k ON k.p = '<http://kg.ex/p/mediaKind>' AND k.s = h.o
 
 from .analytics import (kg_bgp_from_sink, kg_bgp_query,  # noqa: E402
                         kg_pagerank, kg_query_2hop, kg_sparql_agg,
-                        kg_sparql_construct, kg_sparql_optional,
-                        kg_sparql_path, kg_sparql_query)
+                        kg_sparql_construct, kg_sparql_notexists,
+                        kg_sparql_optional, kg_sparql_path,
+                        kg_sparql_query)
 
 KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_documents": kg_documents,
@@ -489,6 +508,8 @@ KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_construct": kg_sparql_construct,
     # property paths (sameAs+ closure + sequence desugar), pytest-only
     "kg_sparql_path": kg_sparql_path,
+    # VALUES (IN filter) + NOT EXISTS (anti join), pytest-only
+    "kg_sparql_notexists": kg_sparql_notexists,
 }
 
 KG_ORACLES: Dict[str, str] = {
@@ -507,4 +528,5 @@ KG_ORACLES: Dict[str, str] = {
     "kg_sparql_optional": ORACLE_KG_SPARQL_OPTIONAL,
     "kg_sparql_construct": ORACLE_KG_SPARQL_CONSTRUCT,
     "kg_sparql_path": ORACLE_KG_SPARQL_PATH,
+    "kg_sparql_notexists": ORACLE_KG_SPARQL_NOTEXISTS,
 }

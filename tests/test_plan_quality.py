@@ -332,3 +332,23 @@ def test_bgp_from_sink_scans_parquet_not_pipeline(spark):
     assert "PushedFilters" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sparql_query_plan_is_pruned_sink_scan(spark):
+    """The SPARQL front-end row compiles to the same plan family as the
+    hand-built BGP: parquet scans of the materialized sink with the
+    predicate equality pushed, equi-joins only; the VALUES/NOT EXISTS
+    row additionally shows the anti join and no cartesian."""
+    from pyrml_spark.kg.analytics import (kg_sparql_notexists,
+                                          kg_sparql_query)
+
+    plan = plan_of(kg_sparql_query(spark, SF_DIR))
+    assert "Scan parquet" in plan, plan
+    assert "Range" not in plan, plan
+    assert "PushedFilters" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    plan = plan_of(kg_sparql_notexists(spark, SF_DIR))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
