@@ -106,7 +106,9 @@ def main(argv=None) -> int:
         from .kg.sparql import (parse_select, sparql_ask,
                                 sparql_construct, sparql_select)
 
-        triples = df.select("s", "p", "o")
+        # keep g when present so GRAPH queries work over quad tables
+        cols = ["s", "p", "o"] + (["g"] if "g" in df.columns else [])
+        triples = df.select(*cols)
         form = parse_select(query).form
         if form == "ASK":
             print("true" if sparql_ask(triples, query, stats="auto")

@@ -278,6 +278,37 @@ def kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
                          stats="auto")
 
 
+# per-named-graph triple counts through GRAPH ?g + aggregation — the
+# quads surface (the sink keeps g; mentions/media/sameas are separate
+# named graphs in the north-rule pipeline)
+SPARQL_GRAPH_QUERY = """
+SELECT ?g (COUNT(*) AS ?n) WHERE {
+  GRAPH ?g { ?s ?p ?o }
+} GROUP BY ?g
+"""
+
+
+def _sink_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized sink WITH the graph column (quads): reuse the
+    table `_sink_triples` wrote (it caches the path per session+input),
+    reading all four columns."""
+    from .table import read_triples_table
+
+    _sink_triples(spark, sf_dir)  # ensure written + cached
+    key = (spark.conf.get("spark.app.id", None) or str(id(spark)), sf_dir)
+    return read_triples_table(spark, _SINK_CACHE[key],
+                              fmt="parquet").select("s", "p", "o", "g")
+
+
+def kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH ?g over the quads sink + GROUP BY aggregation: triple
+    counts per named graph — one pruned scan of the bucketed table and
+    one partial-agg groupBy on the graph IRI."""
+    from .sparql import sparql_select
+
+    return sparql_select(_sink_quads(spark, sf_dir), SPARQL_GRAPH_QUERY)
+
+
 def kg_sparql_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VALUES + FILTER NOT EXISTS through the SPARQL surface:
     media-carrying documents with no mention at all — the VALUES

@@ -451,6 +451,16 @@ WHERE h.p = '<http://kg.ex/p/hasMedia>'
   )
 """
 
+# GRAPH ?g + GROUP BY COUNT over the quads sink: per-named-graph sizes
+ORACLE_KG_SPARQL_GRAPH = _GEN_PREFIX + _TRIPLES_CTES + """
+, tq AS (
+  SELECT DISTINCT s, p, o, g FROM (
+    SELECT * FROM rewritten UNION ALL SELECT * FROM sameas
+  )
+)
+SELECT g, COUNT(*) AS n FROM tq GROUP BY g
+"""
+
 ORACLE_KG_SPARQL_PATH = (
     _GEN_PREFIX.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
     + _TRIPLES_CTES + """
@@ -476,9 +486,9 @@ JOIN t k ON k.p = '<http://kg.ex/p/mediaKind>' AND k.s = h.o
 
 from .analytics import (kg_bgp_from_sink, kg_bgp_query,  # noqa: E402
                         kg_pagerank, kg_query_2hop, kg_sparql_agg,
-                        kg_sparql_construct, kg_sparql_notexists,
-                        kg_sparql_optional, kg_sparql_path,
-                        kg_sparql_query)
+                        kg_sparql_construct, kg_sparql_graph,
+                        kg_sparql_notexists, kg_sparql_optional,
+                        kg_sparql_path, kg_sparql_query)
 
 KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_documents": kg_documents,
@@ -510,6 +520,8 @@ KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_path": kg_sparql_path,
     # VALUES (IN filter) + NOT EXISTS (anti join), pytest-only
     "kg_sparql_notexists": kg_sparql_notexists,
+    # GRAPH ?g quad patterns + per-graph aggregation, pytest-only
+    "kg_sparql_graph": kg_sparql_graph,
 }
 
 KG_ORACLES: Dict[str, str] = {
@@ -529,4 +541,5 @@ KG_ORACLES: Dict[str, str] = {
     "kg_sparql_construct": ORACLE_KG_SPARQL_CONSTRUCT,
     "kg_sparql_path": ORACLE_KG_SPARQL_PATH,
     "kg_sparql_notexists": ORACLE_KG_SPARQL_NOTEXISTS,
+    "kg_sparql_graph": ORACLE_KG_SPARQL_GRAPH,
 }

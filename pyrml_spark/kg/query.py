@@ -48,7 +48,7 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_POSITIONS = ("s", "p", "o")
+_POSITIONS = ("s", "p", "o", "g")  # a pattern uses the first 3 or all 4
 _VAR_RE = re.compile(r"^\?[A-Za-z_][A-Za-z0-9_]*$")
 
 # cost model: every bound s/o term divides the base cardinality estimate.
@@ -92,7 +92,7 @@ def predicate_stats(triples: DataFrame) -> Dict[str, int]:
 class PatternPlan:
     """One pattern's compiled form (inspectable for tests/EXPLAIN)."""
     index: int                       # position in the user's pattern list
-    pattern: Tuple[str, str, str]
+    pattern: Tuple[str, ...]         # (s, p, o) or (s, p, o, g)
     proj: Dict[str, str]             # var name -> s/p/o position
     est_rows: float
     scan_filters: List[str] = field(default_factory=list)  # pushed filters
@@ -119,14 +119,14 @@ def _pattern_vars(pat: Sequence[str]) -> List[str]:
 
 def _estimate(pat: Sequence[str], stats: Optional[Dict[str, int]]) -> float:
     """Estimated scan cardinality: predicate count (histogram) shrunk by
-    each bound s/o term. Without stats the ranking degrades to
+    each bound s/o/g term. Without stats the ranking degrades to
     bound-position counting — still deterministic and cartesian-free."""
     total = float(stats.get(TOTAL_KEY, 1)) if stats else 1.0
-    s, p, o = pat
+    p = pat[1]
     base = total
     if not is_var(p):
         base = float(stats.get(p, 0)) if stats else total / BOUND_TERM_SELECTIVITY
-    for t in (s, o):
+    for t in (pat[0], *pat[2:]):
         if not is_var(t):
             base /= BOUND_TERM_SELECTIVITY
     return base
@@ -158,11 +158,12 @@ def compile_bgp(
     without a session."""
     if not patterns:
         raise BGPError("empty pattern list")
-    pats: List[Tuple[str, str, str]] = []
+    pats: List[Tuple[str, ...]] = []
     for i, pat in enumerate(patterns):
-        if len(pat) != 3 or not all(isinstance(t, str) and t for t in pat):
-            raise BGPError(f"pattern {i} must be three non-empty strings, "
-                           f"got {pat!r}")
+        if len(pat) not in (3, 4) or not all(
+                isinstance(t, str) and t for t in pat):
+            raise BGPError(f"pattern {i} must be three (s,p,o) or four "
+                           f"(s,p,o,g) non-empty strings, got {pat!r}")
         pats.append(tuple(pat))  # type: ignore[arg-type]
         if not _pattern_vars(pat):
             raise BGPError(
@@ -278,7 +279,14 @@ def kg_query(
     (compute the histogram now — one cheap aggregate; cache it yourself
     for query-many workloads), or None (bound-position heuristic).
     ``distinct=True`` gives SPARQL ``SELECT DISTINCT`` set semantics —
-    projection over a BGP is a bag otherwise."""
+    projection over a BGP is a bag otherwise.
+
+    A 4-term pattern constrains/binds the graph column ``g`` (named
+    graphs — SPARQL ``GRAPH``); the DataFrame must then carry ``g``."""
+    if any(len(pat) == 4 for pat in patterns) and "g" not in triples.columns:
+        raise BGPError(
+            "a quad pattern needs a 'g' column; this DataFrame has "
+            f"{triples.columns} (read the sink without dropping g)")
     if stats == "auto":
         stats = predicate_stats(triples)
     plan = compile_bgp(patterns, filters=filters, stats=stats, select=select)

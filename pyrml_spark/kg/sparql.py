@@ -49,6 +49,16 @@ at parse time — loud, never a silent approximation):
 * ``FILTER`` expressions: ``&&  ||  !  ( )``, comparisons
   ``= != < > <= >=``, and the functions ``STR LANG REGEX STRSTARTS
   STRENDS CONTAINS STRLEN isIRI isURI isLiteral isBlank``.
+* ``GRAPH ?g { ... }`` / ``GRAPH <iri> { ... }`` over a quads
+  DataFrame (s, p, o, g): the graph term extends every pattern of the
+  group to a quad — one more pruned/bound scan column, handled by the
+  same BGP compiler (a graph constant reaches the scan as a pushed
+  equality). Loud when the DataFrame lacks ``g`` or when nested in
+  OPTIONAL/UNION. Patterns OUTSIDE any GRAPH over a quads DataFrame
+  follow the union-default-graph model (they match in every named
+  graph; a triple asserted in two graphs contributes two bag
+  solutions — ``DISTINCT`` collapses them), the common store behavior
+  rather than SPARQL's empty-default-graph strictness.
 * ``VALUES ?x { t ... }`` / ``VALUES (?x ?y) { (t t) (t UNDEF) ... }``
   — a single bound variable without UNDEF becomes a plain ``IN``
   filter; otherwise an inline table joined on the shared variables
@@ -132,7 +142,7 @@ _KEYWORDS = {
 # recognized-and-rejected: name the construct in the error instead of a
 # generic parse failure (these are the SPARQL features OUTSIDE the subset)
 _UNSUPPORTED_KEYWORDS = {
-    "graph", "bind", "service",
+    "bind", "service",
     "describe", "having", "sample", "group_concat",
 }
 
@@ -749,6 +759,40 @@ class _Parser:
                         "UNION is outside the supported subset")
                 self.next()
                 self._pending_values.append(self._values_clause())
+                continue
+            if self.at_kw("graph"):
+                if not allow_compound:
+                    raise SPARQLUnsupportedError(
+                        f"GRAPH at offset {t.pos} inside OPTIONAL/UNION "
+                        "is outside the supported subset")
+                self.next()
+                gt = self.next()
+                if gt.kind == "VAR":
+                    g_term = gt.text
+                    if g_term[1:] not in self.vars_seen:
+                        self.vars_seen.append(g_term[1:])
+                elif gt.kind == "IRIREF":
+                    g_term = self._resolve_iriref(gt.text)
+                elif gt.kind == "PNAME":
+                    g_term = self._expand_pname(gt.text, gt.pos)
+                else:
+                    raise SPARQLError(
+                        f"expected ?var or IRI after GRAPH at offset "
+                        f"{gt.pos}")
+                self.expect_op("{")
+                n_paths = len(self._pending_paths)
+                g_pats, g_fils, _ = self._group(allow_compound=False)
+                if len(self._pending_paths) > n_paths:
+                    raise SPARQLUnsupportedError(
+                        "alternation/closure property paths inside "
+                        "GRAPH are outside the supported subset")
+                if not g_pats:
+                    raise SPARQLError(
+                        "GRAPH group contains no triple patterns")
+                # quad patterns: the graph term joins every pattern of
+                # the group (kg_query scans then prune/bind on g too)
+                patterns.extend(tuple(pat) + (g_term,) for pat in g_pats)
+                filters.extend(g_fils)
                 continue
             if self.at_kw("minus"):
                 if not allow_compound:

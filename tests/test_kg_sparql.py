@@ -106,8 +106,6 @@ def test_filter_unbound_variable_is_loud():
 
 
 @pytest.mark.parametrize("query,construct", [
-    ("SELECT ?s WHERE { GRAPH <http://g> { ?s <http://e/p> ?o } }",
-     "GRAPH"),
     ("SELECT ?s WHERE { BIND(1 AS ?x) . ?s <http://e/p> ?x }", "BIND"),
     ("SELECT ?s WHERE { ?s <http://e/p> [ <http://e/q> ?o ] }",
      "blank node"),
@@ -686,3 +684,54 @@ def test_exec_values_only_group(triples):
         triples,
         'SELECT ?x WHERE { VALUES ?x { "a" "b" } }')
     assert _rows(out) == [('"a"',), ('"b"',)]
+
+
+# --------------------------------------------------------------- GRAPH
+
+QUADS = [(s, p, o, "<http://g/one>" if "alice" in s else "<http://g/two>")
+         for s, p, o in T]
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    return spark.createDataFrame(QUADS, ["s", "p", "o", "g"]).cache()
+
+
+def test_parse_graph_extends_patterns_to_quads():
+    pq = parse_select(
+        "PREFIX e: <http://e/> SELECT ?s ?g WHERE "
+        "{ GRAPH ?g { ?s a e:Person ; e:name ?n } }")
+    assert all(len(p) == 4 and p[3] == "?g" for p in pq.patterns)
+    pq = parse_select(
+        "PREFIX e: <http://e/> SELECT ?s WHERE "
+        "{ GRAPH <http://g/one> { ?s e:name ?n } }")
+    assert pq.patterns == [
+        ("?s", "<http://e/name>", "?n", "<http://g/one>")]
+    with pytest.raises(SPARQLUnsupportedError, match="GRAPH"):
+        parse_select("SELECT ?s WHERE { ?s <http://e/p> ?o OPTIONAL "
+                     "{ GRAPH ?g { ?s <http://e/q> ?a } } }")
+
+
+def test_exec_graph_constant_and_var(quads):
+    out = sparql_select(
+        quads, PFX + "SELECT ?s WHERE "
+        "{ GRAPH <http://g/one> { ?s e:name ?n } }")
+    assert _rows(out) == [("<http://e/alice>",)]
+    out = sparql_select(
+        quads, PFX + "SELECT DISTINCT ?g WHERE "
+        "{ GRAPH ?g { ?s a e:Person } }")
+    assert _rows(out) == [("<http://g/one>",), ("<http://g/two>",)]
+    # quad pattern over a triples-only frame is loud
+    from pyrml_spark.kg.sparql import SPARQLError as E
+    with pytest.raises(E, match="'g' column"):
+        sparql_select(
+            quads.select("s", "p", "o"),
+            PFX + "SELECT ?g WHERE { GRAPH ?g { ?s e:name ?n } }")
+
+
+def test_exec_graph_with_aggregate(quads):
+    out = sparql_select(
+        quads, "SELECT ?g (COUNT(*) AS ?n) WHERE "
+        "{ GRAPH ?g { ?s ?p ?o } } GROUP BY ?g ORDER BY ?g")
+    assert [tuple(r) for r in out.collect()] == [
+        ("<http://g/one>", 4), ("<http://g/two>", 6)]
