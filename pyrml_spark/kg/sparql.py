@@ -59,6 +59,13 @@ at parse time — loud, never a silent approximation):
   graph; a triple asserted in two graphs contributes two bag
   solutions — ``DISTINCT`` collapses them), the common store behavior
   rather than SPARQL's empty-default-graph strictness.
+* ``BIND(expr AS ?alias)`` — projection-only: the alias may feed
+  SELECT, aggregates, ORDER BY, or a CONSTRUCT template, never a
+  triple pattern or a FILTER (both loud). ``expr`` is any FILTER
+  operand plus the constructors ``CONCAT(...)`` and ``IRI(...)``;
+  results re-enter the term encoding (lexical → plain literal with
+  N-Triples escapes, ``IRI()`` → ``<...>``, ``STRLEN`` →
+  ``xsd:integer``, numeric constants keep their XSD type).
 * ``VALUES ?x { t ... }`` / ``VALUES (?x ?y) { (t t) (t UNDEF) ... }``
   — a single bound variable without UNDEF becomes a plain ``IN``
   filter; otherwise an inline table joined on the shared variables
@@ -142,7 +149,7 @@ _KEYWORDS = {
 # recognized-and-rejected: name the construct in the error instead of a
 # generic parse failure (these are the SPARQL features OUTSIDE the subset)
 _UNSUPPORTED_KEYWORDS = {
-    "bind", "service",
+    "service",
     "describe", "having", "sample", "group_concat",
 }
 
@@ -293,6 +300,10 @@ class ParsedQuery:
     values_clauses: List[
         Tuple[List[str], List[Tuple[Optional[str], ...]]]] = field(
         default_factory=list)
+    # BIND(expr AS ?alias): (alias, operand kind, SQL fragment) —
+    # projection-only in this subset (alias may feed SELECT/FILTERless
+    # projection/ORDER/aggregates/CONSTRUCT, never a triple pattern)
+    binds: List[Tuple[str, str, str]] = field(default_factory=list)
     # fresh variables introduced by path desugaring — dropped from the
     # solution bag before projection/aggregation
     hidden_vars: List[str] = field(default_factory=list)
@@ -314,6 +325,7 @@ class _Parser:
         self._pending_minus: List[tuple] = []
         self._pending_exists: List[tuple] = []
         self._pending_values: List[tuple] = []
+        self._pending_binds: List[Tuple[str, str, str]] = []
 
     # -- token helpers ----------------------------------------------
     def peek(self) -> _Tok:
@@ -613,6 +625,10 @@ class _Parser:
     def _construct_query(self) -> ParsedQuery:
         self.expect_kw("construct")
         self.expect_op("{")
+        # template variables are NOT in-scope bindings — they must not
+        # block a WHERE-side BIND alias of the same name (the template
+        # consumes bindings, it doesn't create them)
+        scope_before = list(self.vars_seen)
         template: List[Tuple[str, str, str]] = []
         while True:
             t = self.peek()
@@ -634,10 +650,11 @@ class _Parser:
             raise SPARQLError("empty CONSTRUCT template")
         template_vars = {v for pat in template for v in pat
                          if is_var(v)}
+        self.vars_seen = scope_before
         pq = self._where_clause()
         pq.form = "CONSTRUCT"
         pq.template = template
-        bound = _bound_vars(pq)
+        bound = _bound_vars(pq) | {a for a, _, _ in pq.binds}
         unbound = sorted(
             v[1:] for v in template_vars if v[1:] not in bound)
         if unbound:
@@ -685,11 +702,33 @@ class _Parser:
         pq.minus_groups = self._pending_minus
         pq.exists_filters = self._pending_exists
         pq.values_clauses = self._pending_values
+        pq.binds = self._pending_binds
         self._pending_paths = []
         self._hidden = []
         self._pending_minus = []
         self._pending_exists = []
         self._pending_values = []
+        self._pending_binds = []
+        if pq.binds:
+            pattern_bound = _bound_vars(pq)
+            for alias, _, _ in pq.binds:
+                if alias in pattern_bound:
+                    raise SPARQLUnsupportedError(
+                        f"BIND alias ?{alias} is used in a triple "
+                        "pattern — BIND is projection-only in this "
+                        "subset (derive the value, don't join on it)")
+                ref = re.compile(rf"`{re.escape(alias)}`")
+                for group in ([pq.filters]
+                              + [f for _, f in pq.optionals]
+                              + [f for _, _, f in pq.exists_filters]
+                              + [f for _, f in pq.minus_groups]):
+                    for f_expr in group:
+                        if ref.search(f_expr):
+                            raise SPARQLUnsupportedError(
+                                f"FILTER references BIND alias ?{alias} "
+                                "— filters over BIND results are "
+                                "outside the supported subset (filter "
+                                "the returned DataFrame)")
         if pq.union_groups is not None and (pq.minus_groups
                                             or pq.exists_filters
                                             or pq.values_clauses):
@@ -759,6 +798,37 @@ class _Parser:
                         "UNION is outside the supported subset")
                 self.next()
                 self._pending_values.append(self._values_clause())
+                continue
+            if self.at_kw("bind"):
+                if not allow_compound:
+                    raise SPARQLUnsupportedError(
+                        f"BIND at offset {t.pos} inside OPTIONAL/UNION "
+                        "is outside the supported subset")
+                self.next()
+                self.expect_op("(")
+                kind, sql = self._operand()
+                self.expect_kw("as")
+                al = self.next()
+                if al.kind != "VAR":
+                    raise SPARQLError(
+                        f"expected ?alias after AS at offset {al.pos}")
+                name = al.text[1:]
+                if name in self.vars_seen:
+                    raise SPARQLError(
+                        f"BIND rebinds ?{name}, already in scope "
+                        "(SPARQL forbids rebinding)")
+                self.expect_op(")")
+                if kind == self._BOOL:
+                    raise SPARQLUnsupportedError(
+                        "BIND of a boolean expression is outside the "
+                        "supported subset")
+                if kind == self._NUMERIC and re.fullmatch(
+                        r"[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?"
+                        r"|\d+[eE][+-]?\d+|\d+)", sql):
+                    # a numeric CONSTANT keeps its XSD-typed encoding
+                    kind, sql = self._TERM, self._number_term(sql)
+                self._pending_binds.append((name, kind, sql))
+                self.vars_seen.append(name)
                 continue
             if self.at_kw("graph"):
                 if not allow_compound:
@@ -1115,6 +1185,7 @@ class _Parser:
     _TERM = "term"         # an ENCODED term constant (IRI or literal)
     _VAR = "var"           # encoded-term column
     _LEX = "lex"           # SQL expression producing a lexical form
+    _IRI = "iri"           # SQL expression producing an IRI's lexical
     _BOOL = "bool"         # complete boolean SQL
 
     def _comparison(self) -> str:
@@ -1144,7 +1215,7 @@ class _Parser:
             # var-to-var / var-to-term compare ENCODED terms ("x" ≠
             # "x"@en — RDF term equality); anything involving a lexical
             # (STR(), a function result) compares lexical forms.
-            if {lk, rk} <= {self._VAR, self._TERM}:
+            if {lk, rk} <= {self._VAR, self._TERM, self._IRI}:
                 return (f"({self._as_encoded(lhs)} {op} "
                         f"{self._as_encoded(rhs)})")
             l_sql = self._as_lexical(lhs)
@@ -1170,6 +1241,8 @@ class _Parser:
         kind, val = operand
         if kind == self._VAR:
             return _col(val)
+        if kind == self._IRI:
+            return f"concat('<', {val}, '>')"
         assert kind == self._TERM, kind
         return _sql_str(val)
 
@@ -1263,6 +1336,13 @@ class _Parser:
                         "are outside the supported subset")
                 pat = f"(?{flags})" + pat
             return (self._BOOL, f"({subj} RLIKE {_sql_str(pat)})")
+        if name == "CONCAT":
+            args = self._fn_args(name, 1, 64)
+            parts = ", ".join(self._as_lexical(a) for a in args)
+            return (self._LEX, f"concat({parts})")
+        if name in ("IRI", "URI"):
+            (a,) = self._fn_args(name, 1, 1)
+            return (self._IRI, self._as_lexical(a))
         if name in ("ISIRI", "ISURI", "ISLITERAL", "ISBLANK"):
             (a,) = self._fn_args(name, 1, 1)
             if a[0] != self._VAR:
@@ -1459,6 +1539,26 @@ def parse_select(query: str) -> ParsedQuery:
     return _Parser(query).parse()
 
 
+def _bind_encode_sql(kind: str, sql: str) -> str:
+    """A BIND operand → SQL producing the value in the engine's TERM
+    encoding: vars/terms pass through, IRI() wraps in angle brackets,
+    a lexical becomes a plain literal (N-Triples \\ and \" escapes
+    applied), an integer expression an xsd:integer literal."""
+    if kind == _Parser._VAR:
+        return _col(sql)
+    if kind == _Parser._TERM:
+        return _sql_str(sql)
+    if kind == _Parser._IRI:
+        return f"concat('<', {sql}, '>')"
+    if kind == _Parser._NUMERIC:
+        return ("concat('\"', CAST(" + sql + " AS STRING), "
+                "'\"^^<http://www.w3.org/2001/XMLSchema#integer>')")
+    assert kind == _Parser._LEX, kind
+    esc = (f"replace(replace({sql}, '\\\\', '\\\\\\\\'), "
+           f"'\"', '\\\\\"')")
+    return f"concat('\"', {esc}, '\"')"
+
+
 def _run_bgp(triples, patterns, filters, stats) -> DataFrame:
     try:
         return kg_query(triples, patterns, filters=filters,
@@ -1557,6 +1657,8 @@ def _bindings(triples: DataFrame, pq: ParsedQuery, stats) -> DataFrame:
         out = out.join(vdf, on=shared)
     if out is None:
         raise SPARQLError("empty WHERE group")
+    for alias, kind, sql in pq.binds:
+        out = out.withColumn(alias, F.expr(_bind_encode_sql(kind, sql)))
     # EXISTS/MINUS evaluate against the required-group bag (their shared
     # variables must be bound there — OPTIONAL-introduced NULLs have
     # SPARQL "compatible" semantics an SQL join key cannot express)

@@ -735,3 +735,59 @@ def test_exec_graph_with_aggregate(quads):
         "{ GRAPH ?g { ?s ?p ?o } } GROUP BY ?g ORDER BY ?g")
     assert [tuple(r) for r in out.collect()] == [
         ("<http://g/one>", 4), ("<http://g/two>", 6)]
+
+
+# ---------------------------------------------------------------- BIND
+
+
+def test_parse_bind_validation():
+    with pytest.raises(SPARQLError, match="rebinds"):
+        parse_select("SELECT ?s WHERE { ?s <http://e/p> ?o "
+                     'BIND("x" AS ?o) }')
+    with pytest.raises(SPARQLUnsupportedError, match="projection-only"):
+        parse_select('SELECT ?s WHERE { BIND("x" AS ?x) . '
+                     "?s <http://e/p> ?x }")
+    with pytest.raises(SPARQLUnsupportedError, match="filters over BIND"):
+        parse_select("SELECT ?s WHERE { ?s <http://e/p> ?o "
+                     'BIND(STR(?o) AS ?x) FILTER(?x = "a") }')
+    with pytest.raises(SPARQLUnsupportedError, match="boolean"):
+        parse_select("SELECT ?s WHERE { ?s <http://e/p> ?o "
+                     "BIND(isIRI(?o) AS ?x) }")
+
+
+def test_exec_bind_forms(triples):
+    # STR → plain literal; CONCAT; IRI(); numeric constant keeps type
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s ?plain ?joined ?iri ?seven WHERE { "
+        "?s e:name ?n . "
+        "BIND(STR(?n) AS ?plain) "
+        'BIND(CONCAT("name:", STR(?n)) AS ?joined) '
+        'BIND(IRI(CONCAT("http://e/name/", STR(?s))) AS ?iri) '
+        "BIND(7 AS ?seven) } ORDER BY ?s LIMIT 1")
+    row = out.collect()[0]
+    assert row["plain"] == '"Alice"'
+    assert row["joined"] == '"name:Alice"'
+    assert row["iri"] == "<http://e/name/http://e/alice>"
+    assert row["seven"] == (
+        '"7"^^<http://www.w3.org/2001/XMLSchema#integer>')
+    # STRLEN → xsd:integer literal; escapes re-applied on lexicals
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s ?len ?copy WHERE { ?s e:name ?n . "
+        "BIND(STRLEN(?n) AS ?len) BIND(STR(?n) AS ?copy) "
+        "} ORDER BY DESC(?s) LIMIT 2 OFFSET 1")
+    rows = {r["s"]: (r["len"], r["copy"]) for r in out.collect()}
+    assert rows["<http://e/bob>"] == (
+        '"4"^^<http://www.w3.org/2001/XMLSchema#integer>', '"Bo\\"b"')
+
+
+def test_exec_bind_in_construct(triples):
+    from pyrml_spark.kg.sparql import sparql_construct
+
+    out = sparql_construct(
+        triples,
+        PFX + "CONSTRUCT { ?tag e:tags ?s } WHERE { ?s e:age ?a "
+        'BIND(IRI(CONCAT("http://e/tag/", STR(?a))) AS ?tag) }')
+    assert ("<http://e/tag/31>", "<http://e/tags>",
+            "<http://e/alice>") in set(tuple(r) for r in out.collect())
