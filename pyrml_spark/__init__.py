@@ -20,6 +20,6 @@ from .functions.registry import FunctionRegistry, default_registry  # noqa: F401
 from .parse_mapping import parse_mapping, parse_mapping_file  # noqa: F401
 from .kg.query import kg_query, predicate_stats  # noqa: F401
 from .kg.sparql import (sparql_ask, sparql_construct,  # noqa: F401
-                        sparql_select)
+                        sparql_describe, sparql_select)
 
 __version__ = "0.1.0"

@@ -104,7 +104,8 @@ def main(argv=None) -> int:
             with open(query[1:], encoding="utf-8") as fh:
                 query = fh.read()
         from .kg.sparql import (parse_select, sparql_ask,
-                                sparql_construct, sparql_select)
+                                sparql_construct, sparql_describe,
+                                sparql_select)
 
         # keep g when present so GRAPH queries work over quad tables
         cols = ["s", "p", "o"] + (["g"] if "g" in df.columns else [])
@@ -124,9 +125,13 @@ def main(argv=None) -> int:
                     print("\t".join("" if v is None else str(v)
                                     for v in row))
             return 0
-        # CONSTRUCT: a graph — flows through the -f serializers below
-        df = sparql_construct(triples, query, stats="auto").withColumn(
-            "g", F.lit(None).cast("string"))
+        # CONSTRUCT/DESCRIBE: a graph — flows through the -f serializers
+        if form == "DESCRIBE":
+            df = sparql_describe(triples, query, stats="auto").select(
+                "s", "p", "o")
+        else:
+            df = sparql_construct(triples, query, stats="auto")
+        df = df.withColumn("g", F.lit(None).cast("string"))
 
     if args.format in ("ntriples", "turtle", "ttl", "n3", "xml",
                        "pretty-xml"):

@@ -14,7 +14,10 @@ at parse time — loud, never a silent approximation):
 
 * ``PREFIX`` / ``BASE`` prologue; prefixed names anywhere an IRI goes.
 * Query forms ``SELECT`` (→ :func:`sparql_select`), ``ASK``
-  (→ :func:`sparql_ask`), ``CONSTRUCT`` (→ :func:`sparql_construct`).
+  (→ :func:`sparql_ask`), ``CONSTRUCT`` (→ :func:`sparql_construct`),
+  ``DESCRIBE`` (→ :func:`sparql_describe` — subject-centric: all
+  triples whose subject is a described resource; the description shape
+  is implementation-defined by the spec and this one is documented).
 * ``SELECT [DISTINCT|REDUCED] ?v ... | * | (AGG(?v) AS ?alias) ...``.
   ``REDUCED`` runs as the bag (returning duplicates is conformant:
   REDUCED *permits* but does not require elimination). Aggregates:
@@ -149,8 +152,7 @@ _KEYWORDS = {
 # recognized-and-rejected: name the construct in the error instead of a
 # generic parse failure (these are the SPARQL features OUTSIDE the subset)
 _UNSUPPORTED_KEYWORDS = {
-    "service",
-    "describe", "having", "sample", "group_concat",
+    "service", "having", "sample", "group_concat",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
@@ -304,6 +306,8 @@ class ParsedQuery:
     # projection-only in this subset (alias may feed SELECT/FILTERless
     # projection/ORDER/aggregates/CONSTRUCT, never a triple pattern)
     binds: List[Tuple[str, str, str]] = field(default_factory=list)
+    # DESCRIBE resources: encoded IRIs and/or ?var names
+    describe_terms: List[str] = field(default_factory=list)
     # fresh variables introduced by path desugaring — dropped from the
     # solution bag before projection/aggregation
     hidden_vars: List[str] = field(default_factory=list)
@@ -449,11 +453,13 @@ class _Parser:
             pq = self._ask_query()
         elif self.at_kw("construct"):
             pq = self._construct_query()
+        elif self.at_kw("describe"):
+            pq = self._describe_query()
         else:
             t = self.peek()
             raise SPARQLError(
-                f"expected SELECT, ASK or CONSTRUCT at offset {t.pos}, "
-                f"got {t.text!r}")
+                f"expected SELECT, ASK, CONSTRUCT or DESCRIBE at offset "
+                f"{t.pos}, got {t.text!r}")
         t = self.next()
         if t.kind != "EOF":
             self._reject_unsupported(t)
@@ -620,6 +626,45 @@ class _Parser:
         self.expect_kw("ask")
         pq = self._where_clause()
         pq.form = "ASK"
+        return pq
+
+    def _describe_query(self) -> ParsedQuery:
+        self.expect_kw("describe")
+        terms: List[str] = []
+        while True:
+            t = self.peek()
+            if t.kind == "VAR":
+                terms.append(self.next().text)
+            elif t.kind == "IRIREF":
+                terms.append(self._resolve_iriref(self.next().text))
+            elif t.kind == "PNAME":
+                terms.append(self._expand_pname(self.next().text, t.pos))
+            else:
+                break
+        if not terms:
+            t = self.peek()
+            raise SPARQLError(
+                f"expected IRIs or ?vars after DESCRIBE at offset "
+                f"{t.pos} (DESCRIBE * is outside the supported subset)")
+        has_vars = any(is_var(t) for t in terms)
+        if self.at_kw("where") or (
+                self.peek().kind == "OP" and self.peek().text == "{"):
+            pq = self._where_clause()
+        else:
+            if has_vars:
+                raise SPARQLError(
+                    "DESCRIBE with variables needs a WHERE clause to "
+                    "bind them")
+            pq = ParsedQuery(form="", select_vars=None, distinct=False,
+                             patterns=[], filters=[])
+        bound = _bound_vars(pq) | {a for a, _, _ in pq.binds}
+        unbound = sorted(t[1:] for t in terms
+                         if is_var(t) and t[1:] not in bound)
+        if unbound:
+            raise SPARQLError(
+                f"DESCRIBE variables {unbound} are not bound in WHERE")
+        pq.form = "DESCRIBE"
+        pq.describe_terms = terms
         return pq
 
     def _construct_query(self) -> ParsedQuery:
@@ -1511,9 +1556,55 @@ def _path_edges(triples: DataFrame, path) -> DataFrame:
     raise AssertionError(path)
 
 
+def _seeded_reach(edges: DataFrame, seed: str) -> DataFrame:
+    """Nodes reachable from constant ``seed`` via 1+ edge hops —
+    frontier BFS (the spec's ALP shape): per round one equi-join of the
+    CURRENT frontier against the edge frame + an anti-join against the
+    reached set, so total work is proportional to the REACHABLE
+    subgraph, not the predicate's full transitive closure. O(diameter)
+    rounds (vs pointer doubling's O(log d) over the whole graph) — the
+    right trade when one endpoint is bound, which is exactly when the
+    reachable set is small. Returns one column ``_n``."""
+    frontier = (edges.filter(F.col("_a") == F.lit(seed))
+                .select(F.col("_b").alias("_n")).distinct()
+                .localCheckpoint(eager=True))
+    reached = frontier
+    while frontier.count() > 0:
+        step = (frontier.join(edges,
+                              frontier["_n"] == edges["_a"])
+                .select(F.col("_b").alias("_n")).distinct())
+        frontier = (step.join(reached, on="_n", how="left_anti")
+                    .localCheckpoint(eager=True))
+        reached = (reached.unionByName(frontier).distinct()
+                   .localCheckpoint(eager=True))
+    return reached
+
+
 def _path_pattern_df(triples: DataFrame, s_term: str, path,
                      o_term: str) -> DataFrame:
-    """One path pattern → a DataFrame over its variable endpoints."""
+    """One path pattern → a DataFrame over its variable endpoints.
+
+    Closures with exactly one CONSTANT endpoint take the seeded-BFS
+    route (``_seeded_reach``) instead of materializing the predicate's
+    full closure; ``c p* ?x`` additionally includes the spec's
+    zero-length self-solution for the constant itself (the seeded form
+    recovers the exact spec semantics the node-table deviation loses)."""
+    one_const = (isinstance(path, PathMod) and path.mod in "+*"
+                 and is_var(s_term) != is_var(o_term))
+    if one_const:
+        inner = _path_edges(triples, path.inner)
+        if is_var(s_term):          # ?x path+ c — walk inverted edges
+            inner = inner.select(F.col("_b").alias("_a"),
+                                 F.col("_a").alias("_b"))
+            const, var = o_term, s_term
+        else:
+            const, var = s_term, o_term
+        reach = _seeded_reach(inner, const)
+        if path.mod == "*":
+            zero = triples.sparkSession.createDataFrame(
+                [(const,)], ["_n"])
+            reach = reach.unionByName(zero).distinct()
+        return reach.select(F.col("_n").alias(var[1:]))
     e = _path_edges(triples, path)
     cols = []
     for pos, t in (("_a", s_term), ("_b", o_term)):
@@ -1776,6 +1867,34 @@ def sparql_ask(triples: DataFrame, query: str, stats=None) -> bool:
     if pq.form != "ASK":
         raise SPARQLError(f"sparql_ask got a {pq.form} query")
     return len(_bindings(triples, pq, stats).take(1)) > 0
+
+
+def sparql_describe(triples: DataFrame, query: str, stats=None) -> DataFrame:
+    """SPARQL DESCRIBE (implementation-defined by spec; ours is the
+    subject-centric description): every triple whose SUBJECT is one of
+    the described resources — explicit IRIs, plus the distinct values
+    each DESCRIBE variable takes over the WHERE solutions. One
+    resource-set build + one ``left_semi`` join against the triples
+    table; returns (s, p, o[, g]) in the engine encoding, writable by
+    the sinks like a CONSTRUCT result."""
+    pq = parse_select(query)
+    if pq.form != "DESCRIBE":
+        raise SPARQLError(f"sparql_describe got a {pq.form} query")
+    frames = []
+    consts = [t for t in pq.describe_terms if not is_var(t)]
+    if consts:
+        frames.append(triples.sparkSession.createDataFrame(
+            [(c,) for c in consts], ["_r"]))
+    var_names = [t[1:] for t in pq.describe_terms if is_var(t)]
+    if var_names:
+        sols = _bindings(triples, pq, stats)
+        for v in var_names:
+            frames.append(sols.select(F.col(v).alias("_r")))
+    res = frames[0]
+    for f in frames[1:]:
+        res = res.unionByName(f)
+    res = res.distinct()
+    return triples.join(res, triples["s"] == res["_r"], "left_semi")
 
 
 def sparql_construct(triples: DataFrame, query: str, stats=None) -> DataFrame:

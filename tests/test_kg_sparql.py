@@ -791,3 +791,54 @@ def test_exec_bind_in_construct(triples):
         'BIND(IRI(CONCAT("http://e/tag/", STR(?a))) AS ?tag) }')
     assert ("<http://e/tag/31>", "<http://e/tags>",
             "<http://e/alice>") in set(tuple(r) for r in out.collect())
+
+
+def test_exec_path_seeded_closure(chain):
+    # bound subject: frontier BFS from the constant
+    out = sparql_select(chain, CPFX + "SELECT ?b WHERE "
+                        "{ <http://c/2> c:next+ ?b }")
+    assert _rows(out) == [("<http://c/3>",), ("<http://c/4>",)]
+    # bound OBJECT: walks inverted edges
+    out = sparql_select(chain, CPFX + "SELECT ?a WHERE "
+                        "{ ?a c:next+ <http://c/3> }")
+    assert _rows(out) == [("<http://c/1>",), ("<http://c/2>",)]
+    # seeded * recovers the exact spec zero-length semantics even for a
+    # constant absent from the graph
+    out = sparql_select(chain, CPFX + "SELECT ?b WHERE "
+                        "{ <http://c/99> c:next* ?b }")
+    assert _rows(out) == [("<http://c/99>",)]
+    # seeded + over a nested alternation
+    out = sparql_select(chain, CPFX + "SELECT ?b WHERE "
+                        "{ <http://c/1> (c:next|c:alt)+ ?b }")
+    assert _rows(out) == [("<http://c/2>",), ("<http://c/3>",),
+                          ("<http://c/4>",), ("<http://c/5>",)]
+
+
+# ------------------------------------------------------------ DESCRIBE
+
+
+def test_exec_describe(triples):
+    from pyrml_spark.kg.sparql import sparql_describe
+
+    # explicit IRI: all triples with that subject
+    out = sparql_describe(
+        triples, PFX + "DESCRIBE <http://e/alice>")
+    assert out.count() == 4 and set(
+        r["s"] for r in out.collect()) == {"<http://e/alice>"}
+    # variable + WHERE: describe everything some person knows
+    out = sparql_describe(
+        triples, PFX + "DESCRIBE ?o WHERE { ?s e:knows ?o }")
+    assert out.count() == 8  # alice's 4 + bob's 4 (they know each other)
+    # mixed IRI + var, deduplicated resource set
+    out = sparql_describe(
+        triples,
+        PFX + "DESCRIBE <http://e/club> ?o WHERE "
+        "{ <http://e/alice> e:knows ?o }")
+    assert set(r["s"] for r in out.collect()) == {
+        "<http://e/club>", "<http://e/bob>"}
+    # validation is loud
+    with pytest.raises(SPARQLError, match="needs a WHERE"):
+        sparql_describe(triples, "DESCRIBE ?x")
+    with pytest.raises(SPARQLError, match="not bound"):
+        sparql_describe(
+            triples, PFX + "DESCRIBE ?z WHERE { ?s e:knows ?o }")
