@@ -14,7 +14,7 @@ DRIVER WINDOW: the per-round correctness sweep evaluates at most 50
 queries in dict order (round 5 proved this: 22 RML + 28 OPS = exactly 50
 and the 7 kg_* entries merged last were silently skipped). We therefore
 (a) merge the north-rule KG chain FIRST — it must never fall out of the
-window — and (b) keep the driver dict at exactly 50 entries by holding 17
+window — and (b) keep the driver dict at exactly 50 entries by holding 18
 queries out of the window (10 subsumed by a stronger sibling row, plus
 kg_stream_triples and the three extended-SPARQL rows added after the
 window filled)
@@ -84,6 +84,7 @@ PYTEST_ONLY = frozenset({
     "kg_sparql_path",
     "kg_sparql_notexists",
     "kg_sparql_graph",
+    "kg_sparql_describe",
 })
 
 DRIVER_WINDOW = 50

@@ -309,6 +309,23 @@ def kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql_select(_sink_quads(spark, sf_dir), SPARQL_GRAPH_QUERY)
 
 
+# subject-centric description of every mentioned entity
+SPARQL_DESCRIBE_QUERY = """
+PREFIX kg: <http://kg.ex/p/>
+DESCRIBE ?ent WHERE { ?doc kg:mentions ?ent }
+"""
+
+
+def kg_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE through the SPARQL surface: all triples whose subject is
+    a mentioned entity — resource-set build + one left_semi join against
+    the sink."""
+    from .sparql import sparql_describe
+
+    return sparql_describe(_sink_triples(spark, sf_dir),
+                           SPARQL_DESCRIBE_QUERY)
+
+
 def kg_sparql_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VALUES + FILTER NOT EXISTS through the SPARQL surface:
     media-carrying documents with no mention at all — the VALUES

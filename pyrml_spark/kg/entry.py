@@ -451,6 +451,20 @@ WHERE h.p = '<http://kg.ex/p/hasMedia>'
   )
 """
 
+# DESCRIBE: the triples-table subset whose subject is a mentioned entity
+ORACLE_KG_SPARQL_DESCRIBE = _GEN_PREFIX + _TRIPLES_CTES + """
+, t AS (
+  SELECT DISTINCT s, p, o FROM (
+    SELECT * FROM rewritten UNION ALL SELECT * FROM sameas
+  )
+)
+SELECT t.s, t.p, t.o FROM t
+WHERE t.s IN (
+  SELECT DISTINCT m.o FROM t m
+  WHERE m.p = '<http://kg.ex/p/mentions>'
+)
+"""
+
 # GRAPH ?g + GROUP BY COUNT over the quads sink: per-named-graph sizes
 ORACLE_KG_SPARQL_GRAPH = _GEN_PREFIX + _TRIPLES_CTES + """
 , tq AS (
@@ -486,9 +500,10 @@ JOIN t k ON k.p = '<http://kg.ex/p/mediaKind>' AND k.s = h.o
 
 from .analytics import (kg_bgp_from_sink, kg_bgp_query,  # noqa: E402
                         kg_pagerank, kg_query_2hop, kg_sparql_agg,
-                        kg_sparql_construct, kg_sparql_graph,
-                        kg_sparql_notexists, kg_sparql_optional,
-                        kg_sparql_path, kg_sparql_query)
+                        kg_sparql_construct, kg_sparql_describe,
+                        kg_sparql_graph, kg_sparql_notexists,
+                        kg_sparql_optional, kg_sparql_path,
+                        kg_sparql_query)
 
 KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_documents": kg_documents,
@@ -522,6 +537,8 @@ KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_notexists": kg_sparql_notexists,
     # GRAPH ?g quad patterns + per-graph aggregation, pytest-only
     "kg_sparql_graph": kg_sparql_graph,
+    # DESCRIBE (subject-centric, semi-join), pytest-only
+    "kg_sparql_describe": kg_sparql_describe,
 }
 
 KG_ORACLES: Dict[str, str] = {
@@ -542,4 +559,5 @@ KG_ORACLES: Dict[str, str] = {
     "kg_sparql_path": ORACLE_KG_SPARQL_PATH,
     "kg_sparql_notexists": ORACLE_KG_SPARQL_NOTEXISTS,
     "kg_sparql_graph": ORACLE_KG_SPARQL_GRAPH,
+    "kg_sparql_describe": ORACLE_KG_SPARQL_DESCRIBE,
 }
