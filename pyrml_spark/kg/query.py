@@ -135,8 +135,12 @@ def _estimate(pat: Sequence[str], stats: Optional[Dict[str, int]]) -> float:
 def _filter_deps(expr: str, known_vars: Sequence[str]) -> List[str]:
     """Variables a filter expression references (word-boundary match
     against the query's variable names — quoted literals are masked so a
-    var name inside a string constant doesn't count)."""
-    masked = re.sub(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", "''", expr)
+    var name inside a string constant doesn't count). Handles both
+    backslash escapes and ANSI ''-doubled quotes ("name = 'it''s'") —
+    a mis-masked tail would false-positive as a dependency and misplace
+    the filter onto a scan lacking the column."""
+    masked = re.sub(
+        r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\"", "''", expr)
     deps = [v for v in known_vars
             if re.search(rf"(?<![A-Za-z0-9_]){re.escape(v)}(?![A-Za-z0-9_])",
                          masked)]

@@ -174,3 +174,47 @@ def test_sink_query_plan_is_pruned_joins(spark, tmp_path):
                              r"ShuffledHashJoin)", plan, re.M))
     assert n_joins == 2, plan
     assert df.count() > 0
+
+
+# -------------------------------------------------- r8: quoting / stats
+
+
+def test_filter_deps_ansi_doubled_quotes():
+    # ADVICE r7: ''-doubled quote escapes mis-masked, so a var name in
+    # the unmasked tail false-positived as a dependency
+    from pyrml_spark.kg.query import _filter_deps
+
+    expr = "flag = 'she said ''hi s'' ok'"
+    assert _filter_deps(expr, ["s", "flag"]) == ["flag"]
+    # backslash escapes still masked; doubled double-quotes too
+    assert _filter_deps(r"x = 'it\'s s'", ["s", "x"]) == ["x"]
+    assert _filter_deps('x = "a""b s"', ["s", "x"]) == ["x"]
+    # a real dependency outside quotes still counts
+    assert _filter_deps("s = 'it''s'", ["s", "x"]) == ["s"]
+
+
+def test_sink_predicate_stats_cached_per_session_and_input(
+        spark, monkeypatch):
+    # VERDICT r7 #5: one predicate_stats job per (session, sink), not
+    # one per query
+    from pyrml_spark.kg import analytics
+    from pyrml_spark.kg import query as q
+
+    df = spark.createDataFrame(
+        [("<a>", "<p>", "<b>"), ("<a>", "<q>", "<c>")], ["s", "p", "o"])
+    monkeypatch.setattr(analytics, "_sink_triples", lambda sp, d: df)
+    calls = []
+    real = q.predicate_stats
+
+    def counting(t):
+        calls.append(1)
+        return real(t)
+
+    monkeypatch.setattr(q, "predicate_stats", counting)
+    analytics._STATS_CACHE.clear()
+    s1 = analytics._sink_stats(spark, "/sink/one")
+    s2 = analytics._sink_stats(spark, "/sink/one")
+    assert s1 is s2 and len(calls) == 1
+    analytics._sink_stats(spark, "/sink/two")
+    assert len(calls) == 2
+    analytics._STATS_CACHE.clear()
