@@ -81,7 +81,18 @@ at parse time — loud, never a silent approximation):
   must be bound there, not introduced by an OPTIONAL (an SQL join key
   cannot express SPARQL's unbound-is-compatible rule; loud subset
   boundary, not an approximation).
-* ``ORDER BY [ASC|DESC](?v) ...``, ``LIMIT n``, ``OFFSET n``.
+* ``HAVING (constraint) ...`` after GROUP BY (or over the implicit
+  group when SELECT has aggregates): constraints are comparisons over
+  **aggregate expressions and numeric constants** combined with
+  ``&& ||`` — per-solution or group-key constraints belong in FILTER
+  (loud; equivalent and cheaper before grouping). HAVING aggregates
+  ride the same single aggregation pass as hidden columns.
+* ``ORDER BY [ASC|DESC](?v) ...``, ``LIMIT n``, ``OFFSET n``. Order
+  variables may be any in-scope variable (SPARQL orders before
+  projection); with DISTINCT they must survive the projection (loud
+  otherwise). Ordering is a documented TOTAL order: numeric-typed
+  literals first, by value (``"9"^^xsd:integer < "10"^^xsd:integer``),
+  then every other term by codepoint on its N-Triples encoding.
 * ``CONSTRUCT { template }``: each solution instantiates the template
   triples; instantiations with an unbound position, a literal subject,
   or a non-IRI predicate are skipped (the spec's rule), and the result
@@ -91,7 +102,10 @@ FILTER semantics (documented, SPARQL-faithful where it matters):
 
 * ``=`` / ``!=`` against a term constant compare the full **encoded**
   term — SPARQL term equality (``"x"`` ≠ ``"x"@en`` ≠ ``"x"^^xsd:y``,
-  exactly as RDF says).
+  exactly as RDF says). Against a **numeric** operand they compare
+  values (``"05"^^xsd:integer = 5``) via TRY_CAST of the lexical form
+  — a non-numeric term is a SPARQL type error and the row drops (for
+  ``!=`` too), never an ANSI cast failure aborting the query.
 * ``< > <= >=`` with a numeric operand compare **values**: the
   variable's lexical form is cast to DOUBLE; a non-numeric term casts
   to NULL, the comparison is not true, and the row drops — which is
@@ -152,7 +166,7 @@ _KEYWORDS = {
 # recognized-and-rejected: name the construct in the error instead of a
 # generic parse failure (these are the SPARQL features OUTSIDE the subset)
 _UNSUPPORTED_KEYWORDS = {
-    "service", "having", "sample", "group_concat",
+    "service", "sample", "group_concat",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
@@ -314,6 +328,11 @@ class ParsedQuery:
     order_by: List[Tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: Optional[int] = None
     offset: Optional[int] = None
+    # HAVING constraints: SQL fragments over hidden aggregate columns
+    # (``having_aggs``, aliased ``_h0, _h1, …`` — computed in the same
+    # groupBy().agg() as the SELECT aggregates, filtered, then dropped)
+    having: List[str] = field(default_factory=list)
+    having_aggs: List[Aggregate] = field(default_factory=list)
 
 
 class _Parser:
@@ -362,8 +381,8 @@ class _Parser:
                 f"{t.text.upper()} (offset {t.pos}) is outside the "
                 "supported SPARQL subset (BGP + property paths + FILTER "
                 "[NOT] EXISTS + OPTIONAL + MINUS + top-level UNION + "
-                "aggregates + ORDER/LIMIT/OFFSET; no GRAPH/BIND/VALUES/"
-                "subqueries)")
+                "GRAPH + BIND + VALUES + aggregates + HAVING + "
+                "ORDER/LIMIT/OFFSET; no subqueries)")
 
     # -- terms -------------------------------------------------------
     def _expand_pname(self, text: str, pos: int) -> str:
@@ -524,12 +543,7 @@ class _Parser:
         pq.distinct = distinct
         pq.aggregates = aggregates
         pq.group_by = self._group_by()
-        if self.at_kw("having"):
-            t = self.peek()
-            raise SPARQLUnsupportedError(
-                f"HAVING at offset {t.pos} is outside the supported "
-                "subset (filter before aggregation, or post-filter the "
-                "returned DataFrame)")
+        pq.having, pq.having_aggs = self._having(bool(aggregates))
         if aggregates:
             aliases = [a.alias for a in aggregates]
             dup = set(aliases) & set(self.vars_seen)
@@ -608,6 +622,111 @@ class _Parser:
                 f"GROUP BY expressions at offset {t.pos} are outside "
                 "the supported subset (variables only)")
         return out
+
+    def _having(self, has_aggregates: bool) -> Tuple[
+            List[str], List[Aggregate]]:
+        """``HAVING (constraint)+`` → (SQL fragments, hidden aggregates).
+
+        Operands are aggregate expressions and numeric constants only —
+        per SPARQL §11.4.8 HAVING sees the GROUPED solutions, so any
+        per-solution constraint belongs in FILTER (and a constraint on
+        a group key IS a per-solution constraint: filtering before or
+        after grouping on a key is equivalent, and before is cheaper).
+        Identical aggregate expressions share one hidden column; SQL
+        comparisons over them are plain numeric (COUNT → long, others →
+        TRY_CAST double), never encoded-term logic."""
+        if not self.at_kw("having"):
+            return [], []
+        t = self.next()
+        if not has_aggregates:
+            raise SPARQLUnsupportedError(
+                f"HAVING at offset {t.pos} without an aggregate in "
+                "SELECT is outside the supported subset (an implicit "
+                "single group projecting no aggregate; use FILTER)")
+        self._having_aggs: List[Aggregate] = []
+        conds: List[str] = []
+        while self.peek().kind == "OP" and self.peek().text == "(":
+            self.next()
+            conds.append(self._having_or())
+            self.expect_op(")")
+        if not conds:
+            t = self.peek()
+            raise SPARQLError(
+                f"expected (constraint) after HAVING at offset {t.pos}")
+        return conds, self._having_aggs
+
+    def _having_or(self) -> str:
+        parts = [self._having_and()]
+        while self.peek().kind == "OP" and self.peek().text == "||":
+            self.next()
+            parts.append(self._having_and())
+        return (parts[0] if len(parts) == 1
+                else "(" + " OR ".join(parts) + ")")
+
+    def _having_and(self) -> str:
+        parts = [self._having_cmp()]
+        while self.peek().kind == "OP" and self.peek().text == "&&":
+            self.next()
+            parts.append(self._having_cmp())
+        return (parts[0] if len(parts) == 1
+                else "(" + " AND ".join(parts) + ")")
+
+    def _having_cmp(self) -> str:
+        lhs = self._having_operand()
+        t = self.next()
+        ops = {"=": "=", "!=": "<>", "<": "<", ">": ">",
+               "<=": "<=", ">=": ">="}
+        if not (t.kind == "OP" and t.text in ops):
+            raise SPARQLError(
+                f"expected comparison operator in HAVING at offset "
+                f"{t.pos}, got {t.text!r}")
+        rhs = self._having_operand()
+        return f"({lhs} {ops[t.text]} {rhs})"
+
+    def _having_operand(self) -> str:
+        t = self.peek()
+        if t.kind == "NUMBER":
+            self.next()
+            return t.text
+        if t.kind == "NAME" and t.text.upper() in _AGG_FNS:
+            name = self.next().text.upper()
+            self.expect_op("(")
+            agg_distinct = False
+            if self.at_kw("distinct"):
+                self.next()
+                agg_distinct = True
+            a = self.next()
+            if a.kind == "VAR":
+                var: Optional[str] = a.text[1:]
+                if var not in self.vars_seen:
+                    raise SPARQLError(
+                        f"HAVING aggregates over ?{var} (offset "
+                        f"{a.pos}), not bound by any pattern")
+            elif a.kind == "OP" and a.text == "*" and name == "COUNT":
+                var = None
+            else:
+                raise SPARQLError(
+                    f"expected ?var{' or *' if name == 'COUNT' else ''}"
+                    f" in HAVING {name}() at offset {a.pos}")
+            if agg_distinct and (name != "COUNT" or var is None):
+                raise SPARQLUnsupportedError(
+                    f"{name}(DISTINCT {'*' if var is None else '?' + var}"
+                    ") in HAVING is outside the supported subset")
+            self.expect_op(")")
+            key = (name, var, agg_distinct)
+            for agg in self._having_aggs:
+                if (agg.fn, agg.var, agg.distinct) == key:
+                    return _col(agg.alias)
+            agg = Aggregate(fn=name, var=var, distinct=agg_distinct,
+                            alias=f"_h{len(self._having_aggs)}")
+            self._having_aggs.append(agg)
+            return _col(agg.alias)
+        self._reject_unsupported(t)
+        raise SPARQLUnsupportedError(
+            f"HAVING operand {t.text!r} at offset {t.pos} is outside "
+            "the supported subset (aggregate expressions and numeric "
+            "constants only — per-solution or group-key constraints "
+            "belong in FILTER)")
 
     def _limit_offset(self, pq: ParsedQuery) -> None:
         while self.at_kw("limit", "offset"):
@@ -1263,6 +1382,18 @@ class _Parser:
             if {lk, rk} <= {self._VAR, self._TERM, self._IRI}:
                 return (f"({self._as_encoded(lhs)} {op} "
                         f"{self._as_encoded(rhs)})")
+            if self._NUMERIC in (lk, rk):
+                # numeric =/<> is VALUE equality (SPARQL operator
+                # dispatch: "05"^^xsd:integer = 5).  TRY_CAST the
+                # non-numeric side so a non-numeric binding is a type
+                # error (NULL → row drops) instead of Spark 4 ANSI
+                # CAST_INVALID_INPUT aborting the whole query on a raw
+                # string-vs-int comparison.
+                l_sql = (lv if lk == self._NUMERIC
+                         else f"TRY_CAST({self._as_lexical(lhs)} AS DOUBLE)")
+                r_sql = (rv if rk == self._NUMERIC
+                         else f"TRY_CAST({self._as_lexical(rhs)} AS DOUBLE)")
+                return f"({l_sql} {op} {r_sql})"
             l_sql = self._as_lexical(lhs)
             r_sql = self._as_lexical(rhs)
             return f"({l_sql} {op} {r_sql})"
@@ -1772,6 +1903,14 @@ def _bindings(triples: DataFrame, pq: ParsedQuery, stats) -> DataFrame:
             continue
         out = out.join(right.select(*shared).distinct(), on=shared,
                        how="left_anti")
+    # OPTIONAL join keys must be required-group-bound: a variable
+    # introduced by a PRIOR OPTIONAL can be NULL, and SPARQL's LeftJoin
+    # treats unbound as compatible-with-anything — an SQL left-join key
+    # cannot express that (NULL never equi-matches), so solutions would
+    # silently lose extensions.  Same subset boundary EXISTS/MINUS
+    # already enforce (they run above, before any OPTIONAL column
+    # exists).  Loud, not silently wrong.
+    required_cols = set(out.columns)
     for o_pats, o_fils in pq.optionals:
         right = _run_bgp(triples, o_pats, o_fils, stats)
         shared = [c for c in right.columns if c in out.columns]
@@ -1780,11 +1919,47 @@ def _bindings(triples: DataFrame, pq: ParsedQuery, stats) -> DataFrame:
                 f"OPTIONAL group {o_pats} shares no variable with the "
                 "required group — a cartesian extension; add a joining "
                 "variable")
+        opt_only = [c for c in shared if c not in required_cols]
+        if opt_only:
+            raise SPARQLUnsupportedError(
+                f"OPTIONAL group {o_pats} joins through "
+                f"{sorted(opt_only)}, introduced by a prior OPTIONAL — "
+                "SPARQL's unbound-is-compatible LeftJoin semantics for "
+                "such keys is outside the supported subset; bind the "
+                "variable in the required group")
         out = out.join(right, on=shared, how="left")
     if pq.hidden_vars:
         keep = [c for c in out.columns if c not in pq.hidden_vars]
         out = out.select(*keep)
     return out
+
+
+# xsd numeric datatypes whose typed literals ORDER BY compares by VALUE
+# (SPARQL operator mapping: "9"^^xsd:integer < "10"^^xsd:integer)
+_XSD_NUMERIC_DT_RE = (
+    r'\\^\\^<http://www\\.w3\\.org/2001/XMLSchema#'
+    r'(?:integer|decimal|double|float|long|int|short|byte|'
+    r'nonNegativeInteger|nonPositiveInteger|negativeInteger|'
+    r'positiveInteger|unsignedLong|unsignedInt|unsignedShort|'
+    r'unsignedByte)>$')
+
+
+def _order_keys(v: str, asc: bool):
+    """Sort keys for one ORDER BY variable — a documented TOTAL order
+    (SPARQL's term ordering is partial; a deterministic engine needs a
+    total one): numeric-typed literals compare by value and sort before
+    every non-numeric term (ascending); ties and all other terms fall
+    back to codepoint order on the encoded N-Triples form.  Simple
+    literals like ``"9"`` are NOT numeric (spec: plain literals order
+    by codepoint).  TRY_CAST so a malformed numeric lexical degrades to
+    the lexical fallback instead of an ANSI cast error."""
+    num = F.expr(
+        f"CASE WHEN {_col(v)} RLIKE '{_XSD_NUMERIC_DT_RE}' "
+        f"THEN TRY_CAST({_lex_sql(v)} AS DOUBLE) END")
+    enc = F.col(v)
+    if asc:
+        return [num.asc_nulls_last(), enc.asc()]
+    return [num.desc_nulls_first(), enc.desc()]
 
 
 def _apply_modifiers(out: DataFrame, pq: ParsedQuery) -> DataFrame:
@@ -1795,8 +1970,7 @@ def _apply_modifiers(out: DataFrame, pq: ParsedQuery) -> DataFrame:
                 f"ORDER BY references {missing}, not in the result "
                 f"columns {out.columns}")
         out = out.orderBy(*[
-            F.col(v).asc() if asc else F.col(v).desc()
-            for v, asc in pq.order_by])
+            k for v, asc in pq.order_by for k in _order_keys(v, asc)])
     if pq.offset is not None:
         out = out.offset(pq.offset)
     if pq.limit is not None:
@@ -1844,13 +2018,26 @@ def sparql_select(
             f"SELECT references unbound variables {unknown} "
             f"(bound: {out.columns})")
     if pq.aggregates:
-        aggs = [_agg_column(a) for a in pq.aggregates]
+        # HAVING aggregates ride the same groupBy().agg() as hidden
+        # columns — one aggregation pass (Catalyst dedups an expression
+        # that also appears in SELECT), filter, then project them away
+        aggs = [_agg_column(a) for a in pq.aggregates + pq.having_aggs]
         grouped = (out.groupBy(*pq.group_by) if pq.group_by
                    else out.groupBy())
         out = grouped.agg(*aggs)
+        for cond in pq.having:
+            out = out.filter(F.expr(cond))
         cols = ((pq.select_vars or []) +
                 [a.alias for a in pq.aggregates])
         out = out.select(*cols)
+    elif pq.select_vars is not None and not pq.distinct:
+        # SPARQL orders BEFORE projection: ORDER BY may reference any
+        # in-scope variable, projected or not.  Sort/slice the full
+        # solution bag, then project (a narrow, order-preserving step).
+        # With DISTINCT the order variables must survive the projection
+        # (post-collapse row order over dropped columns is undefined),
+        # so that path keeps the projected-columns requirement below.
+        return _apply_modifiers(out, pq).select(*pq.select_vars)
     else:
         if pq.select_vars is not None:
             out = out.select(*pq.select_vars)

@@ -842,3 +842,168 @@ def test_exec_describe(triples):
     with pytest.raises(SPARQLError, match="not bound"):
         sparql_describe(
             triples, PFX + "DESCRIBE ?z WHERE { ?s e:knows ?o }")
+
+
+# ------------------------- r8: value-ordering / numeric =/<> / guards
+
+
+XSD_INT = "^^<http://www.w3.org/2001/XMLSchema#integer>"
+
+
+def test_exec_order_by_numeric_value_not_lexical(triples):
+    # ages 7 and 31: lexically "31" < "7"; by VALUE 7 < 31
+    out = sparql_select(
+        triples, PFX + "SELECT ?s ?a WHERE { ?s e:age ?a } ORDER BY ?a")
+    assert [r["s"] for r in out.collect()] == [
+        "<http://e/bob>", "<http://e/alice>"]
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s e:age ?a } ORDER BY DESC(?a)")
+    assert [r["s"] for r in out.collect()] == [
+        "<http://e/alice>", "<http://e/bob>"]
+
+
+def test_exec_order_by_nine_before_ten(spark):
+    # the VERDICT r7 acceptance case: "9"^^xsd:integer < "10"^^xsd:integer
+    df = spark.createDataFrame(
+        [("<http://e/x>", "<http://e/v>", f'"10"{XSD_INT}'),
+         ("<http://e/y>", "<http://e/v>", f'"9"{XSD_INT}')],
+        ["s", "p", "o"])
+    out = sparql_select(
+        df, "SELECT ?s ?v WHERE { ?s <http://e/v> ?v } ORDER BY ?v")
+    assert [r["s"] for r in out.collect()] == [
+        "<http://e/y>", "<http://e/x>"]
+
+
+def test_exec_order_by_mixed_types_total_order(spark):
+    # documented total order: numeric-typed literals by value FIRST
+    # (ascending), then everything else by codepoint on the encoding;
+    # a malformed numeric lexical degrades to the lexical tier
+    df = spark.createDataFrame(
+        [("<http://e/a>", "<http://e/v>", '"plain"'),
+         ("<http://e/b>", "<http://e/v>", f'"12"{XSD_INT}'),
+         ("<http://e/c>", "<http://e/v>", f'"2"{XSD_INT}'),
+         ("<http://e/d>", "<http://e/v>", "<http://e/iri>"),
+         ("<http://e/e>", "<http://e/v>", f'"oops"{XSD_INT}')],
+        ["s", "p", "o"])
+    out = sparql_select(
+        df, "SELECT ?s WHERE { ?s <http://e/v> ?v } ORDER BY ?v")
+    got = [r["s"] for r in out.collect()]
+    # numerics by value: c(2) then b(12); the rest by encoded codepoint:
+    # "oops"^^ < "plain" < <http://e/iri>  ('"' < '<')
+    assert got == ["<http://e/c>", "<http://e/b>",
+                   "<http://e/e>", "<http://e/a>", "<http://e/d>"]
+    out = sparql_select(
+        df, "SELECT ?s WHERE { ?s <http://e/v> ?v } ORDER BY DESC(?v)")
+    assert [r["s"] for r in out.collect()] == list(reversed(got))
+
+
+def test_exec_filter_numeric_equality_by_value(spark, triples):
+    # =/<> against a numeric constant is VALUE equality
+    out = sparql_select(
+        triples, PFX + "SELECT ?s WHERE { ?s e:age ?a FILTER(?a = 31) }")
+    assert _rows(out) == [("<http://e/alice>",)]
+    out = sparql_select(
+        triples, PFX + "SELECT ?s WHERE { ?s e:age ?a FILTER(?a != 7) }")
+    assert _rows(out) == [("<http://e/alice>",)]
+    # "05"^^xsd:integer = 5 (value, not lexical)
+    df = spark.createDataFrame(
+        [("<http://e/z>", "<http://e/v>", f'"05"{XSD_INT}')],
+        ["s", "p", "o"])
+    out = sparql_select(
+        df, "SELECT ?s WHERE { ?s <http://e/v> ?v FILTER(?v = 5) }")
+    assert _rows(out) == [("<http://e/z>",)]
+
+
+def test_exec_filter_numeric_equality_nonnumeric_drops_not_aborts(triples):
+    # ADVICE r7: under ANSI mode a raw string=int comparison threw
+    # CAST_INVALID_INPUT; SPARQL's type-error rule drops the row instead
+    out = sparql_select(
+        triples, PFX + "SELECT ?s WHERE { ?s e:name ?n FILTER(?n = 5) }")
+    assert _rows(out) == []
+    out = sparql_select(
+        triples, PFX + "SELECT ?s WHERE { ?s e:name ?n FILTER(?n != 5) }")
+    assert _rows(out) == []  # type error, not "everything differs"
+
+
+def test_exec_optional_chained_on_prior_optional_is_loud(triples):
+    # ADVICE r7: an OPTIONAL joining only through a var introduced by a
+    # PRIOR OPTIONAL would need unbound-is-compatible LeftJoin semantics
+    # an SQL equi-key cannot express — loud, not silently lossy
+    with pytest.raises(SPARQLUnsupportedError, match="prior OPTIONAL"):
+        sparql_select(
+            triples,
+            PFX + "SELECT * WHERE { ?s a e:Person "
+            "OPTIONAL { ?s e:knows ?k } "
+            "OPTIONAL { ?k e:name ?kn } }").collect()
+    # but a second OPTIONAL that ALSO shares a required-group var is fine
+    out = sparql_select(
+        triples,
+        PFX + "SELECT * WHERE { ?s a e:Person "
+        "OPTIONAL { ?s e:knows ?k } "
+        "OPTIONAL { ?s e:name ?n } }")
+    assert out.count() == 2
+
+
+# ------------------------------------------------------------ r8: HAVING
+
+
+def test_parse_having_constraints_and_hidden_aggs():
+    pq = parse_select(
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s "
+        "HAVING (COUNT(?o) > 3) (COUNT(?o) < 10 && MAX(?o) != 5)")
+    assert pq.having == ["(`_h0` > 3)", "((`_h0` < 10) AND (`_h1` <> 5))"]
+    # COUNT(?o) appears three times but is computed once
+    assert [(a.fn, a.var, a.alias) for a in pq.having_aggs] == [
+        ("COUNT", "o", "_h0"), ("MAX", "o", "_h1")]
+
+
+def test_exec_having_filters_groups(triples):
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } "
+        "GROUP BY ?s HAVING (COUNT(?o) > 3) ORDER BY ?s")
+    assert _rows(out) == [("<http://e/alice>", 4), ("<http://e/bob>", 4)]
+    # disjunction picks up the 2-triple club too
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } "
+        "GROUP BY ?s HAVING (COUNT(?o) = 2 || COUNT(?o) = 4)")
+    assert out.count() == 3
+    # implicit single group
+    out = sparql_select(
+        triples,
+        PFX + "SELECT (AVG(?a) AS ?avg) WHERE { ?s e:age ?a } "
+        "HAVING (COUNT(*) = 2)")
+    assert _rows(out) == [(19.0,)]
+    out = sparql_select(
+        triples,
+        PFX + "SELECT (AVG(?a) AS ?avg) WHERE { ?s e:age ?a } "
+        "HAVING (COUNT(*) > 2)")
+    assert out.count() == 0
+    # a HAVING aggregate need not appear in SELECT
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s (COUNT(?p) AS ?n) WHERE { ?s ?p ?a } "
+        "GROUP BY ?s HAVING (MAX(?a) >= 7) ORDER BY ?s")
+    # MAX over TRY_CAST lexical: only age-bearing subjects have numerics
+    assert [r["s"] for r in out.collect()] == [
+        "<http://e/alice>", "<http://e/bob>"]
+
+
+def test_having_loud_boundaries(triples):
+    with pytest.raises(SPARQLUnsupportedError, match="without an aggregate"):
+        parse_select(
+            "SELECT ?s WHERE { ?s <http://e/p> ?o } HAVING (COUNT(*) > 1)")
+    with pytest.raises(SPARQLUnsupportedError, match="belong in FILTER"):
+        parse_select(
+            "SELECT (COUNT(*) AS ?n) WHERE { ?s <http://e/p> ?o } "
+            "GROUP BY ?s HAVING (?s = 1)")
+    with pytest.raises(SPARQLError, match="not bound"):
+        parse_select(
+            "SELECT (COUNT(*) AS ?n) WHERE { ?s <http://e/p> ?o } "
+            "HAVING (SUM(?zz) > 1)")
+    with pytest.raises(SPARQLError, match="expected .constraint."):
+        parse_select(
+            "SELECT (COUNT(*) AS ?n) WHERE { ?s <http://e/p> ?o } "
+            "HAVING COUNT(?o) > 1")
