@@ -254,6 +254,56 @@ SELECT DISTINCT ?doc ?kind WHERE {
 """
 
 
+# r8: HAVING over the same aggregate shape (the constraint aggregates —
+# one hidden, one shared with SELECT — ride the same aggregation pass)
+SPARQL_HAVING_QUERY = """
+PREFIX kg: <http://kg.ex/p/>
+SELECT ?kind (COUNT(*) AS ?n_media) (COUNT(DISTINCT ?doc) AS ?n_docs)
+WHERE {
+  ?doc kg:hasMedia ?media .
+  ?media kg:mediaKind ?kind .
+} GROUP BY ?kind
+HAVING (COUNT(DISTINCT ?doc) >= 2 && COUNT(*) > 2)
+"""
+
+# r8: general BIND — a variable alias used as a JOIN KEY in a later
+# pattern (equi-join on the computed column) plus a derived-length bind
+# consumed by a FILTER (deferred until the bind materializes)
+SPARQL_BIND_QUERY = """
+PREFIX kg: <http://kg.ex/p/>
+PREFIX owl: <http://www.w3.org/2002/07/owl#>
+SELECT ?doc ?canon ?clen WHERE {
+  ?alias owl:sameAs ?canon .
+  BIND(?canon AS ?entity) .
+  ?doc kg:mentions ?entity .
+  BIND(STRLEN(?canon) AS ?clen)
+  FILTER(?clen > 0)
+}
+"""
+
+
+def kg_sparql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING through the SPARQL surface: media kinds carried by at
+    least two distinct documents with more than two assets — the HAVING
+    aggregates compute as hidden columns in the single groupBy pass and
+    are filtered then projected away."""
+    from .sparql import sparql_select
+
+    return sparql_select(_sink_triples(spark, sf_dir),
+                         SPARQL_HAVING_QUERY)
+
+
+def kg_sparql_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General BIND through the SPARQL surface: ``?entity`` is the
+    computed copy of ``?canon`` joined against the mentions pattern
+    (bind_patterns path), ``?clen`` a derived integer consumed by a
+    deferred FILTER (post_filters path). Bag semantics: one row per
+    (alias, mention) pair projected to (doc, canon, clen)."""
+    from .sparql import sparql_select
+
+    return sparql_select(_sink_triples(spark, sf_dir), SPARQL_BIND_QUERY)
+
+
 def kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY aggregation through the SPARQL surface (media assets and
     distinct carrying documents per media kind) — one partial-agg

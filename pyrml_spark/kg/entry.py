@@ -404,6 +404,41 @@ WHERE h.p = '<http://kg.ex/p/hasMedia>'
 GROUP BY k.o
 """
 
+# SPARQL HAVING (analytics.SPARQL_HAVING_QUERY) — the AGG shape plus a
+# two-aggregate HAVING constraint (one hidden, one shared with SELECT)
+ORACLE_KG_SPARQL_HAVING = _GEN_PREFIX + _TRIPLES_CTES + """
+, t AS (
+  SELECT DISTINCT s, p, o FROM (
+    SELECT * FROM rewritten UNION ALL SELECT * FROM sameas
+  )
+)
+SELECT k.o AS kind, COUNT(*) AS n_media, COUNT(DISTINCT h.s) AS n_docs
+FROM t h, t k
+WHERE h.p = '<http://kg.ex/p/hasMedia>'
+  AND k.p = '<http://kg.ex/p/mediaKind>' AND k.s = h.o
+GROUP BY k.o
+HAVING COUNT(DISTINCT h.s) >= 2 AND COUNT(*) > 2
+"""
+
+# SPARQL general BIND (analytics.SPARQL_BIND_QUERY) — ?entity is the
+# computed copy of ?canon joined into mentions (bind-pattern equi-join),
+# ?clen = STRLEN(STR(?canon)) (IRI lexical strips <>: length - 2) as an
+# encoded xsd:integer, consumed by a deferred FILTER; bag semantics
+ORACLE_KG_SPARQL_BIND = _GEN_PREFIX + _TRIPLES_CTES + """
+, t AS (
+  SELECT DISTINCT s, p, o FROM (
+    SELECT * FROM rewritten UNION ALL SELECT * FROM sameas
+  )
+)
+SELECT m.s AS doc, sa.o AS canon,
+       '"' || CAST(LENGTH(sa.o) - 2 AS VARCHAR)
+           || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS clen
+FROM t sa JOIN t m
+  ON m.p = '<http://kg.ex/p/mentions>' AND m.o = sa.o
+WHERE sa.p = '<http://www.w3.org/2002/07/owl#sameAs>'
+  AND LENGTH(sa.o) - 2 > 0
+"""
+
 # SPARQL OPTIONAL (analytics.SPARQL_OPTIONAL_QUERY) — bag-semantics
 # left extension of mentions by the document's media
 ORACLE_KG_SPARQL_OPTIONAL = _GEN_PREFIX + _TRIPLES_CTES + """
@@ -500,8 +535,9 @@ JOIN t k ON k.p = '<http://kg.ex/p/mediaKind>' AND k.s = h.o
 
 from .analytics import (kg_bgp_from_sink, kg_bgp_query,  # noqa: E402
                         kg_pagerank, kg_query_2hop, kg_sparql_agg,
-                        kg_sparql_construct, kg_sparql_describe,
-                        kg_sparql_graph, kg_sparql_notexists,
+                        kg_sparql_bind, kg_sparql_construct,
+                        kg_sparql_describe, kg_sparql_graph,
+                        kg_sparql_having, kg_sparql_notexists,
                         kg_sparql_optional, kg_sparql_path,
                         kg_sparql_query)
 
@@ -529,6 +565,9 @@ KG_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # SPARQL forms beyond the plain BGP, pytest-only (window full):
     # GROUP BY aggregation, OPTIONAL left-extension, CONSTRUCT
     "kg_sparql_agg": kg_sparql_agg,
+    # r8: HAVING constraints + general BIND placement, pytest-only
+    "kg_sparql_having": kg_sparql_having,
+    "kg_sparql_bind": kg_sparql_bind,
     "kg_sparql_optional": kg_sparql_optional,
     "kg_sparql_construct": kg_sparql_construct,
     # property paths (sameAs+ closure + sequence desugar), pytest-only
@@ -554,6 +593,8 @@ KG_ORACLES: Dict[str, str] = {
     "kg_bgp_from_sink": ORACLE_KG_BGP,
     "kg_stream_triples": ORACLE_KG_STREAM,
     "kg_sparql_agg": ORACLE_KG_SPARQL_AGG,
+    "kg_sparql_having": ORACLE_KG_SPARQL_HAVING,
+    "kg_sparql_bind": ORACLE_KG_SPARQL_BIND,
     "kg_sparql_optional": ORACLE_KG_SPARQL_OPTIONAL,
     "kg_sparql_construct": ORACLE_KG_SPARQL_CONSTRUCT,
     "kg_sparql_path": ORACLE_KG_SPARQL_PATH,

@@ -62,13 +62,19 @@ at parse time — loud, never a silent approximation):
   graph; a triple asserted in two graphs contributes two bag
   solutions — ``DISTINCT`` collapses them), the common store behavior
   rather than SPARQL's empty-default-graph strictness.
-* ``BIND(expr AS ?alias)`` — projection-only: the alias may feed
-  SELECT, aggregates, ORDER BY, or a CONSTRUCT template, never a
-  triple pattern or a FILTER (both loud). ``expr`` is any FILTER
-  operand plus the constructors ``CONCAT(...)`` and ``IRI(...)``;
-  results re-enter the term encoding (lexical → plain literal with
-  N-Triples escapes, ``IRI()`` → ``<...>``, ``STRLEN`` →
-  ``xsd:integer``, numeric constants keep their XSD type).
+* ``BIND(expr AS ?alias)`` — the alias may feed SELECT, aggregates,
+  ORDER BY, a CONSTRUCT template, top-level FILTERs (deferred until
+  the bind materializes — SPARQL's whole-group filter scope), and
+  triple patterns: a required-group pattern referencing an alias
+  compiles into its own BGP equi-joined on the computed value after
+  the binds apply (a pattern connected to the required group only
+  through such a pattern leaves the BGP disconnected — loud cartesian,
+  reorder or add a bridging pattern). ``expr`` is any FILTER operand
+  plus the constructors ``CONCAT(...)`` and ``IRI(...)``; results
+  re-enter the term encoding (lexical → plain literal with N-Triples
+  escapes, ``IRI()`` → ``<...>``, ``STRLEN`` → ``xsd:integer``,
+  numeric constants keep their XSD type). BIND inside OPTIONAL/UNION
+  sides and aliases as closure-path endpoints stay loud.
 * ``VALUES ?x { t ... }`` / ``VALUES (?x ?y) { (t t) (t UNDEF) ... }``
   — a single bound variable without UNDEF becomes a plain ``IN``
   filter; otherwise an inline table joined on the shared variables
@@ -316,10 +322,14 @@ class ParsedQuery:
     values_clauses: List[
         Tuple[List[str], List[Tuple[Optional[str], ...]]]] = field(
         default_factory=list)
-    # BIND(expr AS ?alias): (alias, operand kind, SQL fragment) —
-    # projection-only in this subset (alias may feed SELECT/FILTERless
-    # projection/ORDER/aggregates/CONSTRUCT, never a triple pattern)
+    # BIND(expr AS ?alias): (alias, operand kind, SQL fragment)
     binds: List[Tuple[str, str, str]] = field(default_factory=list)
+    # required-group patterns that reference a BIND alias: executed as
+    # an equi-join on the computed alias column after binds materialize
+    bind_patterns: List[Tuple[str, ...]] = field(default_factory=list)
+    # top-level FILTERs referencing a BIND alias: applied after the
+    # binds (and bind_patterns) instead of inside the BGP
+    post_filters: List[str] = field(default_factory=list)
     # DESCRIBE resources: encoded IRIs and/or ?var names
     describe_terms: List[str] = field(default_factory=list)
     # fresh variables introduced by path desugaring — dropped from the
@@ -874,25 +884,37 @@ class _Parser:
         self._pending_values = []
         self._pending_binds = []
         if pq.binds:
-            pattern_bound = _bound_vars(pq)
-            for alias, _, _ in pq.binds:
-                if alias in pattern_bound:
+            aliases = {a for a, _, _ in pq.binds}
+            # required-group patterns referencing an alias can't run in
+            # the BGP (the column doesn't exist at scan time): they move
+            # to bind_patterns and equi-join on the COMPUTED value after
+            # the binds materialize.  Patterns connected to the required
+            # group only THROUGH such a moved pattern leave the required
+            # BGP disconnected — kg_query's cartesian check stays loud
+            # for that shape (no silent wrong answer).
+            moved = [p for p in pq.patterns
+                     if any(is_var(v) and v[1:] in aliases for v in p)]
+            if moved:
+                pq.bind_patterns = moved
+                pq.patterns = [p for p in pq.patterns if p not in moved]
+            for s, _, o in pq.path_patterns:
+                bad = [t for t in (s, o)
+                       if is_var(t) and t[1:] in aliases]
+                if bad:
                     raise SPARQLUnsupportedError(
-                        f"BIND alias ?{alias} is used in a triple "
-                        "pattern — BIND is projection-only in this "
-                        "subset (derive the value, don't join on it)")
-                ref = re.compile(rf"`{re.escape(alias)}`")
-                for group in ([pq.filters]
-                              + [f for _, f in pq.optionals]
-                              + [f for _, _, f in pq.exists_filters]
-                              + [f for _, f in pq.minus_groups]):
-                    for f_expr in group:
-                        if ref.search(f_expr):
-                            raise SPARQLUnsupportedError(
-                                f"FILTER references BIND alias ?{alias} "
-                                "— filters over BIND results are "
-                                "outside the supported subset (filter "
-                                "the returned DataFrame)")
+                        f"BIND alias {bad[0]} as a closure-path "
+                        "endpoint is outside the supported subset")
+            # top-level FILTERs referencing an alias defer to after the
+            # binds materialize (SPARQL scope: the whole group); filters
+            # INSIDE OPTIONAL/EXISTS/MINUS sides compile in their own
+            # BGP where the alias column either is re-bound by the
+            # side's patterns (fine) or is unknown (loud at analysis)
+            ref = re.compile("|".join(rf"`{re.escape(a)}`"
+                                      for a in sorted(aliases)))
+            post = [f for f in pq.filters if ref.search(f)]
+            if post:
+                pq.post_filters = post
+                pq.filters = [f for f in pq.filters if f not in post]
         if pq.union_groups is not None and (pq.minus_groups
                                             or pq.exists_filters
                                             or pq.values_clauses):
@@ -1878,9 +1900,26 @@ def _bindings(triples: DataFrame, pq: ParsedQuery, stats) -> DataFrame:
                 "rule)")
         out = out.join(vdf, on=shared)
     if out is None:
-        raise SPARQLError("empty WHERE group")
+        if pq.binds:
+            # a group of only BINDs: SPARQL starts from the empty
+            # solution µ0 — one row, zero columns (the operands are
+            # necessarily constants: a variable operand would have
+            # required a pattern binding it at parse time)
+            out = triples.sparkSession.range(1).select()
+        else:
+            raise SPARQLError("empty WHERE group")
     for alias, kind, sql in pq.binds:
         out = out.withColumn(alias, F.expr(_bind_encode_sql(kind, sql)))
+    if pq.bind_patterns:
+        # patterns over BIND aliases: their own compiled BGP (the alias
+        # is an ordinary scan variable there), equi-joined on the
+        # computed alias columns — a NULL/errored bind value matches
+        # nothing and the row drops, SPARQL's unbound-pattern rule
+        right = _run_bgp(triples, pq.bind_patterns, [], stats)
+        shared = [c for c in right.columns if c in out.columns]
+        out = out.join(right, on=shared)
+    for f_expr in pq.post_filters:
+        out = out.filter(F.expr(f_expr))
     # EXISTS/MINUS evaluate against the required-group bag (their shared
     # variables must be bound there — OPTIONAL-introduced NULLs have
     # SPARQL "compatible" semantics an SQL join key cannot express)

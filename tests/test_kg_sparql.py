@@ -106,7 +106,8 @@ def test_filter_unbound_variable_is_loud():
 
 
 @pytest.mark.parametrize("query,construct", [
-    ("SELECT ?s WHERE { BIND(1 AS ?x) . ?s <http://e/p> ?x }", "BIND"),
+    ("SELECT ?s WHERE { ?s <http://e/p> ?o . "
+     "OPTIONAL { ?s <http://e/q> ?a BIND(1 AS ?x) } }", "BIND"),
     ("SELECT ?s WHERE { ?s <http://e/p> [ <http://e/q> ?o ] }",
      "blank node"),
     ("SELECT ?s WHERE { ?s <http://e/p> ?o FILTER(ABS(?o) > 1) }",
@@ -744,12 +745,15 @@ def test_parse_bind_validation():
     with pytest.raises(SPARQLError, match="rebinds"):
         parse_select("SELECT ?s WHERE { ?s <http://e/p> ?o "
                      'BIND("x" AS ?o) }')
-    with pytest.raises(SPARQLUnsupportedError, match="projection-only"):
-        parse_select('SELECT ?s WHERE { BIND("x" AS ?x) . '
-                     "?s <http://e/p> ?x }")
-    with pytest.raises(SPARQLUnsupportedError, match="filters over BIND"):
-        parse_select("SELECT ?s WHERE { ?s <http://e/p> ?o "
-                     'BIND(STR(?o) AS ?x) FILTER(?x = "a") }')
+    # r8: alias-in-pattern and alias-in-FILTER are now supported — they
+    # parse into bind_patterns / post_filters instead of raising
+    pq = parse_select('SELECT ?s WHERE { BIND("x" AS ?x) . '
+                      "?s <http://e/p> ?x }")
+    assert pq.patterns == [] and pq.bind_patterns == [
+        ("?s", "<http://e/p>", "?x")]
+    pq = parse_select("SELECT ?s WHERE { ?s <http://e/p> ?o "
+                      'BIND(STR(?o) AS ?x) FILTER(?x = "a") }')
+    assert pq.filters == [] and len(pq.post_filters) == 1
     with pytest.raises(SPARQLUnsupportedError, match="boolean"):
         parse_select("SELECT ?s WHERE { ?s <http://e/p> ?o "
                      "BIND(isIRI(?o) AS ?x) }")
@@ -1007,3 +1011,47 @@ def test_having_loud_boundaries(triples):
         parse_select(
             "SELECT (COUNT(*) AS ?n) WHERE { ?s <http://e/p> ?o } "
             "HAVING COUNT(?o) > 1")
+
+
+# ------------------------------------------- r8: general BIND placement
+
+
+def test_exec_bind_alias_in_filter(triples):
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s e:name ?n "
+        "BIND(STRLEN(?n) AS ?len) FILTER(?len > 4) }")
+    assert _rows(out) == [("<http://e/alice>",)]  # Alice=5, Bo"b=4, Club=4
+    # a conjunction splits: the alias conjunct defers, the other pushes
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s e:name ?n "
+        "BIND(STRLEN(?n) AS ?len) "
+        'FILTER(?len >= 4 && STRSTARTS(STR(?s), "http://e/b")) }')
+    assert _rows(out) == [("<http://e/bob>",)]
+
+
+def test_exec_bind_alias_in_pattern(triples):
+    # alias as a join key: ?friend is the COMPUTED copy of ?k
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s ?fa WHERE { ?s e:knows ?k "
+        "BIND(?k AS ?friend) . ?friend e:age ?fa } ORDER BY ?s")
+    assert _rows(out) == sorted([
+        ("<http://e/alice>",
+         '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://e/bob>",
+         '"31"^^<http://www.w3.org/2001/XMLSchema#integer>')])
+    # constructed-IRI join over an empty required group (µ0 start)
+    out = sparql_select(
+        triples,
+        PFX + 'SELECT ?a WHERE { BIND(IRI("http://e/alice") AS ?who) . '
+        "?who e:age ?a }")
+    assert _rows(out) == [
+        ('"31"^^<http://www.w3.org/2001/XMLSchema#integer>',)]
+
+
+def test_exec_bind_only_group(triples):
+    out = sparql_select(triples, "SELECT ?x WHERE { BIND(7 AS ?x) }")
+    assert _rows(out) == [
+        ('"7"^^<http://www.w3.org/2001/XMLSchema#integer>',)]
