@@ -79,6 +79,8 @@ PYTEST_ONLY = frozenset({
     "kg_stream_triples",
     "kg_bgp_query",
     "kg_sparql_agg",
+    "kg_sparql_having",
+    "kg_sparql_bind",
     "kg_sparql_optional",
     "kg_sparql_construct",
     "kg_sparql_path",

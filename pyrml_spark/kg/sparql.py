@@ -24,7 +24,12 @@ at parse time — loud, never a silent approximation):
   ``COUNT(*)``, ``COUNT([DISTINCT] ?v)``, ``SUM/AVG/MIN/MAX(?v)``
   (numeric, over the lexical form via TRY_CAST — a non-numeric term
   contributes NULL, which SQL aggregates skip, matching SPARQL's
-  error-term elision), with ``GROUP BY ?v ...``.
+  error-term elision), ``SAMPLE(?v)`` (implementation-defined choice:
+  deterministically the encoding-order minimum), and
+  ``GROUP_CONCAT([DISTINCT] ?v [; SEPARATOR="..."])`` (over lexical
+  forms, codepoint-sorted order — the spec leaves order undefined, a
+  distributed engine must pick a deterministic one), with
+  ``GROUP BY ?v ...``.
 * ``WHERE { ... }`` with triple patterns, ``;`` predicate lists, ``,``
   object lists, ``a`` for rdf:type, ``FILTER(...)``, any number of
   flat ``OPTIONAL { patterns FILTER... }`` blocks (left joins on the
@@ -47,8 +52,12 @@ at parse time — loud, never a silent approximation):
   (O(log diameter) rounds, the CC machinery's shape). Zero-length
   paths (``* ?``) connect every node OCCURRING IN THE GRAPH to itself —
   a constant endpoint absent from the graph misses its spec-mandated
-  self-solution (documented deviation). Negated property sets ``!(...)``
-  stay loud; alternation/closure inside OPTIONAL/UNION stay loud.
+  self-solution (documented deviation). Negated property sets ``!iri``
+  / ``!(iri|...)`` with FORWARD members desugar to one scan with a
+  ``NOT IN`` predicate filter (a fresh hidden predicate variable) and
+  compose with sequences; inverse members (``!(^p)``), ``^`` applied
+  to a whole negated set, and negated sets under closures/alternations
+  stay loud. Alternation/closure inside OPTIONAL/UNION stay loud.
 * ``FILTER`` expressions: ``&&  ||  !  ( )``, comparisons
   ``= != < > <= >=``, and the functions ``STR LANG REGEX STRSTARTS
   STRENDS CONTAINS STRLEN isIRI isURI isLiteral isBlank``.
@@ -75,6 +84,15 @@ at parse time — loud, never a silent approximation):
   escapes, ``IRI()`` → ``<...>``, ``STRLEN`` → ``xsd:integer``,
   numeric constants keep their XSD type). BIND inside OPTIONAL/UNION
   sides and aliases as closure-path endpoints stay loud.
+* ``{ SELECT ... }`` subqueries in the required group: each runs as a
+  complete SELECT in a FRESH scope (SPARQL bottom-up evaluation — no
+  outer bindings flow in) with its own modifiers (a ``LIMIT``/``ORDER``
+  inside the subquery is the top-k-then-join idiom), then inner-joins
+  the outer solutions on the shared PROJECTED variables. Aggregate
+  aliases flow out as plain values: usable in FILTERs (deferred past
+  the join) and projection, loud in triple patterns (a raw value never
+  equi-matches an encoded term). ``SELECT *`` subqueries and subqueries
+  inside OPTIONAL/UNION stay loud.
 * ``VALUES ?x { t ... }`` / ``VALUES (?x ?y) { (t t) (t UNDEF) ... }``
   — a single bound variable without UNDEF becomes a plain ``IN``
   filter; otherwise an inline table joined on the shared variables
@@ -172,10 +190,12 @@ _KEYWORDS = {
 # recognized-and-rejected: name the construct in the error instead of a
 # generic parse failure (these are the SPARQL features OUTSIDE the subset)
 _UNSUPPORTED_KEYWORDS = {
-    "service", "sample", "group_concat",
+    "service",
 }
 
-_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
+# aggregates whose result is numeric (usable in HAVING comparisons)
+_NUMERIC_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
 
 _TOKEN_RE = re.compile(
     r"""
@@ -226,10 +246,11 @@ def _lex(query: str) -> List[_Tok]:
 @dataclass
 class Aggregate:
     """One ``(AGG(?v) AS ?alias)`` select expression."""
-    fn: str                    # COUNT / SUM / AVG / MIN / MAX
+    fn: str         # COUNT / SUM / AVG / MIN / MAX / SAMPLE / GROUP_CONCAT
     var: Optional[str]         # None == COUNT(*)
     distinct: bool
     alias: str
+    sep: Optional[str] = None  # GROUP_CONCAT separator (default " ")
 
 
 # --- property-path AST (SPARQL 1.1 §9) -------------------------------
@@ -267,6 +288,16 @@ class PathMod:
     mod: str                   # '+' | '*' | '?'
 
 
+@dataclass
+class PathNeg:
+    """Negated property set ``!iri`` / ``!(iri|...)`` — forward members
+    only (inverse ``^iri`` members stay loud). Desugars to a pattern
+    with a fresh hidden predicate VARIABLE plus a scan-level
+    ``NOT IN`` filter, so it keeps the BGP compiler's single-scan
+    shape (no closure machinery involved)."""
+    iris: List[str]
+
+
 PathNode = object  # union of the five dataclasses above
 
 
@@ -283,7 +314,22 @@ def _invert(path) -> "PathNode":
         return PathAlt([_invert(p) for p in path.parts])
     if isinstance(path, PathMod):
         return PathMod(_invert(path.inner), path.mod)
+    if isinstance(path, PathNeg):
+        raise SPARQLUnsupportedError(
+            "^ applied to a negated property set is outside the "
+            "supported subset (write the pattern with swapped "
+            "endpoints instead)")
     raise AssertionError(path)
+
+
+def _contains_neg(path) -> bool:
+    if isinstance(path, PathNeg):
+        return True
+    if isinstance(path, (PathSeq, PathAlt)):
+        return any(_contains_neg(p) for p in path.parts)
+    if isinstance(path, (PathMod, PathInv)):
+        return _contains_neg(path.inner)
+    return False
 
 
 @dataclass
@@ -330,6 +376,10 @@ class ParsedQuery:
     # top-level FILTERs referencing a BIND alias: applied after the
     # binds (and bind_patterns) instead of inside the BGP
     post_filters: List[str] = field(default_factory=list)
+    # { SELECT ... } subqueries in the required group: each runs as its
+    # own full SELECT (fresh scope — SPARQL bottom-up evaluation) and
+    # inner-joins the outer bag on the shared PROJECTED variables
+    subqueries: List["ParsedQuery"] = field(default_factory=list)
     # DESCRIBE resources: encoded IRIs and/or ?var names
     describe_terms: List[str] = field(default_factory=list)
     # fresh variables introduced by path desugaring — dropped from the
@@ -359,6 +409,10 @@ class _Parser:
         self._pending_exists: List[tuple] = []
         self._pending_values: List[tuple] = []
         self._pending_binds: List[Tuple[str, str, str]] = []
+        # scan filters emitted by path desugaring (negated property
+        # sets) — drained into the enclosing group's FILTER list
+        self._pending_scan_filters: List[str] = []
+        self._pending_subqueries: List[ParsedQuery] = []
 
     # -- token helpers ----------------------------------------------
     def peek(self) -> _Tok:
@@ -391,8 +445,8 @@ class _Parser:
                 f"{t.text.upper()} (offset {t.pos}) is outside the "
                 "supported SPARQL subset (BGP + property paths + FILTER "
                 "[NOT] EXISTS + OPTIONAL + MINUS + top-level UNION + "
-                "GRAPH + BIND + VALUES + aggregates + HAVING + "
-                "ORDER/LIMIT/OFFSET; no subqueries)")
+                "GRAPH + BIND + VALUES + subqueries + aggregates + "
+                "HAVING + ORDER/LIMIT/OFFSET)")
 
     # -- terms -------------------------------------------------------
     def _expand_pname(self, text: str, pos: int) -> str:
@@ -601,9 +655,25 @@ class _Parser:
         if var is None and agg_distinct:
             raise SPARQLUnsupportedError(
                 "COUNT(DISTINCT *) is outside the supported subset")
-        if agg_distinct and name != "COUNT":
+        if agg_distinct and name not in ("COUNT", "GROUP_CONCAT"):
             raise SPARQLUnsupportedError(
                 f"{name}(DISTINCT ...) is outside the supported subset")
+        sep: Optional[str] = None
+        if name == "GROUP_CONCAT" and (
+                self.peek().kind == "OP" and self.peek().text == ";"):
+            self.next()
+            kw = self.next()
+            if not (kw.kind == "NAME" and kw.text.lower() == "separator"):
+                raise SPARQLError(
+                    f"expected SEPARATOR after ';' in GROUP_CONCAT at "
+                    f"offset {kw.pos}")
+            self.expect_op("=")
+            st = self.next()
+            if st.kind != "STRING" or not st.text.endswith('"'):
+                raise SPARQLError(
+                    f"expected a plain string separator at offset "
+                    f"{st.pos}")
+            sep = _unescape(st.text[1:-1])
         self.expect_op(")")
         self.expect_kw("as")
         al = self.next()
@@ -612,7 +682,7 @@ class _Parser:
                 f"expected ?alias after AS at offset {al.pos}")
         self.expect_op(")")
         return Aggregate(fn=name, var=var, distinct=agg_distinct,
-                         alias=al.text[1:])
+                         alias=al.text[1:], sep=sep)
 
     def _group_by(self) -> List[str]:
         if not self.at_kw("group"):
@@ -699,6 +769,11 @@ class _Parser:
             self.next()
             return t.text
         if t.kind == "NAME" and t.text.upper() in _AGG_FNS:
+            if t.text.upper() not in _NUMERIC_AGG_FNS:
+                raise SPARQLUnsupportedError(
+                    f"{t.text.upper()} in HAVING at offset {t.pos} is "
+                    "outside the supported subset (HAVING comparisons "
+                    "are numeric; SAMPLE/GROUP_CONCAT results are not)")
             name = self.next().text.upper()
             self.expect_op("(")
             agg_distinct = False
@@ -820,6 +895,11 @@ class _Parser:
                     f"FILTER inside a CONSTRUCT template at offset "
                     f"{t.pos} (filters belong in WHERE)")
             template.extend(self._triples_block())
+            if self._pending_scan_filters:
+                raise SPARQLUnsupportedError(
+                    "a negated property set inside a CONSTRUCT template "
+                    "makes no sense (templates instantiate, they don't "
+                    "match)")
         if not template:
             raise SPARQLError("empty CONSTRUCT template")
         template_vars = {v for pat in template for v in pat
@@ -846,7 +926,11 @@ class _Parser:
         self.expect_op("{")
         pq = ParsedQuery(form="", select_vars=None, distinct=False,
                          patterns=[], filters=[])
-        if self.peek().kind == "OP" and self.peek().text == "{":
+        nxt = (self.toks[self.i + 1]
+               if self.i + 1 < len(self.toks) else None)
+        if (self.peek().kind == "OP" and self.peek().text == "{"
+                and not (nxt is not None and nxt.kind == "NAME"
+                         and nxt.text.lower() == "select")):
             sides = []
             while True:
                 self.expect_op("{")
@@ -877,12 +961,14 @@ class _Parser:
         pq.exists_filters = self._pending_exists
         pq.values_clauses = self._pending_values
         pq.binds = self._pending_binds
+        pq.subqueries = self._pending_subqueries
         self._pending_paths = []
         self._hidden = []
         self._pending_minus = []
         self._pending_exists = []
         self._pending_values = []
         self._pending_binds = []
+        self._pending_subqueries = []
         if pq.binds:
             aliases = {a for a, _, _ in pq.binds}
             # required-group patterns referencing an alias can't run in
@@ -915,6 +1001,36 @@ class _Parser:
             if post:
                 pq.post_filters = post
                 pq.filters = [f for f in pq.filters if f not in post]
+        if pq.subqueries:
+            # an AGGREGATE alias column is a raw numeric, not an encoded
+            # term — as a triple-pattern key it would never equi-match
+            # ("3" vs '"3"^^xsd:integer'), which SPARQL value semantics
+            # would sometimes match: loud, not silently empty
+            agg_aliases = {a.alias for sub in pq.subqueries
+                           for a in sub.aggregates}
+            for pat in pq.patterns + pq.bind_patterns:
+                bad = [v for v in pat if is_var(v) and v[1:] in agg_aliases]
+                if bad:
+                    raise SPARQLUnsupportedError(
+                        f"subquery aggregate alias {bad[0]} used in a "
+                        "triple pattern is outside the supported subset "
+                        "(aggregate results are plain values, not "
+                        "terms; compare them in a FILTER)")
+            # outer FILTERs referencing variables bound ONLY by a
+            # subquery defer until after the subquery joins (they
+            # cannot compile inside the required BGP)
+            pattern_only = {t[1:] for pat in pq.patterns for t in pat
+                            if is_var(t)}
+            sub_only = {v for sub in pq.subqueries
+                        for v in _subquery_proj(sub)} - pattern_only
+            if sub_only:
+                ref = re.compile("|".join(rf"`{re.escape(v)}`"
+                                          for v in sorted(sub_only)))
+                post = [f for f in pq.filters if ref.search(f)]
+                if post:
+                    pq.post_filters.extend(post)
+                    pq.filters = [f for f in pq.filters
+                                  if f not in post]
         if pq.union_groups is not None and (pq.minus_groups
                                             or pq.exists_filters
                                             or pq.values_clauses):
@@ -1095,11 +1211,60 @@ class _Parser:
                     "top-level form {{ group }} UNION {{ group }}")
             self._reject_unsupported(t)
             if t.kind == "OP" and t.text == "{":
+                nxt = (self.toks[self.i + 1]
+                       if self.i + 1 < len(self.toks) else None)
+                if (nxt is not None and nxt.kind == "NAME"
+                        and nxt.text.lower() == "select"):
+                    if not allow_compound:
+                        raise SPARQLUnsupportedError(
+                            f"subquery at offset {t.pos} inside "
+                            "OPTIONAL/UNION is outside the supported "
+                            "subset")
+                    self.next()
+                    self._pending_subqueries.append(self._subquery())
+                    continue
                 raise SPARQLUnsupportedError(
                     f"nested group at offset {t.pos} is outside the "
                     "supported subset (UNION is only supported as the "
                     "top-level {{ group }} UNION {{ group }} form)")
             patterns.extend(self._triples_block())
+            if self._pending_scan_filters:
+                filters.extend(self._pending_scan_filters)
+                self._pending_scan_filters = []
+
+    def _subquery(self) -> ParsedQuery:
+        """``{ SELECT ... }`` in a group — parsed with a FRESH scope and
+        pending state (SPARQL evaluates subqueries bottom-up; nothing
+        flows in, only the PROJECTED variables flow out, becoming
+        in-scope join variables for the enclosing group)."""
+        saved = (self._pending_paths, self._hidden, self._pending_minus,
+                 self._pending_exists, self._pending_values,
+                 self._pending_binds, self._pending_subqueries,
+                 self._pending_scan_filters, self.vars_seen)
+        self._pending_paths = []
+        self._hidden = []
+        self._pending_minus = []
+        self._pending_exists = []
+        self._pending_values = []
+        self._pending_binds = []
+        self._pending_subqueries = []
+        self._pending_scan_filters = []
+        self.vars_seen = []
+        sub = self._select_query()
+        self.expect_op("}")
+        (self._pending_paths, self._hidden, self._pending_minus,
+         self._pending_exists, self._pending_values, self._pending_binds,
+         self._pending_subqueries, self._pending_scan_filters,
+         self.vars_seen) = saved
+        if sub.select_vars is None and not sub.aggregates:
+            raise SPARQLUnsupportedError(
+                "SELECT * in a subquery is outside the supported subset "
+                "(project the join variables explicitly — the outer "
+                "join key set must be deterministic at parse time)")
+        for v in _subquery_proj(sub):
+            if v not in self.vars_seen:
+                self.vars_seen.append(v)
+        return sub
 
     def _values_clause(self) -> Tuple[List[str], List[tuple]]:
         """``VALUES ?x { t ... }`` or ``VALUES (?x ?y) { (t t) ... }``;
@@ -1238,9 +1403,30 @@ class _Parser:
                 inner = PathIri(inner)
             return inner
         if t.kind == "OP" and t.text == "!":
-            raise SPARQLUnsupportedError(
-                f"negated property set at offset {t.pos} is outside the "
-                "supported subset")
+            self.next()
+            iris: List[str] = []
+            if self.peek().kind == "OP" and self.peek().text == "(":
+                self.next()
+                while True:
+                    if self.peek().kind == "OP" and self.peek().text == "^":
+                        raise SPARQLUnsupportedError(
+                            f"inverse member ^ inside a negated property "
+                            f"set at offset {self.peek().pos} is outside "
+                            "the supported subset (forward members only)")
+                    iris.append(self._term("predicate"))
+                    if self.peek().kind == "OP" and self.peek().text == "|":
+                        self.next()
+                        continue
+                    break
+                self.expect_op(")")
+            else:
+                if self.peek().kind == "OP" and self.peek().text == "^":
+                    raise SPARQLUnsupportedError(
+                        f"inverse member ^ in a negated property set at "
+                        f"offset {self.peek().pos} is outside the "
+                        "supported subset (forward members only)")
+                iris.append(self._term("predicate"))
+            return PathNeg(iris)
         # an IRI / pname / 'a' — reuse predicate-position term parsing
         verb = self._term("predicate")
         return PathIri(verb)
@@ -1263,6 +1449,12 @@ class _Parser:
         if isinstance(path, PathInv):
             assert isinstance(path.inner, PathIri)  # _invert() pushed down
             return [(obj, path.inner.iri, subj)]
+        if isinstance(path, PathNeg):
+            pv = self._fresh_var()
+            in_list = ", ".join(_sql_str(i) for i in path.iris)
+            self._pending_scan_filters.append(
+                f"(`{pv}` NOT IN ({in_list}))")
+            return [(subj, "?" + pv, obj)]
         if isinstance(path, PathSeq):
             out: List[Tuple[str, str, str]] = []
             cur = subj
@@ -1272,7 +1464,14 @@ class _Parser:
                 out.extend(self._desugar_path(cur, part, nxt))
                 cur = nxt
             return out
-        # alternation / closure: an edge-frame pattern for the executor
+        # alternation / closure: an edge-frame pattern for the executor.
+        # A PathNeg nested under a closure/alternation has no edge-frame
+        # evaluator — loud, never approximated.
+        if _contains_neg(path):
+            raise SPARQLUnsupportedError(
+                "a negated property set inside a closure/alternation "
+                "path is outside the supported subset (use it as a "
+                "plain path step)")
         self._pending_paths.append((subj, path, obj))
         for t in (subj, obj):
             if is_var(t):
@@ -1607,9 +1806,15 @@ def _lex_sql(var: str) -> str:
         f"ELSE {c} END)")
 
 
+def _subquery_proj(sub: ParsedQuery) -> List[str]:
+    """A subquery's projected variable names (its visible scope)."""
+    return (sub.select_vars or []) + [a.alias for a in sub.aggregates]
+
+
 def _bound_vars(pq: ParsedQuery) -> set:
     """Variable names bound by any pattern of the WHERE clause."""
-    groups = ([pq.patterns] + [p for p, _ in pq.optionals]
+    groups = ([pq.patterns, pq.bind_patterns]
+              + [p for p, _ in pq.optionals]
               + [p for p, _ in (pq.union_groups or [])])
     out = {t[1:] for pats in groups for pat in pats for t in pat
            if is_var(t)}
@@ -1617,6 +1822,8 @@ def _bound_vars(pq: ParsedQuery) -> set:
         out |= {t[1:] for t in (s, o) if is_var(t)}
     for v_names, _ in pq.values_clauses:
         out |= set(v_names)
+    for sub in pq.subqueries:
+        out |= set(_subquery_proj(sub))
     return out
 
 
@@ -1845,7 +2052,8 @@ def _bindings(triples: DataFrame, pq: ParsedQuery, stats) -> DataFrame:
             out = out.unionByName(df)
         return out
 
-    if stats == "auto" and (pq.optionals or pq.path_patterns):
+    if stats == "auto" and (pq.optionals or pq.path_patterns
+                            or pq.subqueries):
         from .query import predicate_stats
         stats = predicate_stats(triples)
     out = None
@@ -1868,6 +2076,18 @@ def _bindings(triples: DataFrame, pq: ParsedQuery, stats) -> DataFrame:
                 "variable with the preceding patterns — a cartesian "
                 "product; add a bridging pattern")
         out = out.join(pdf, on=shared)
+    for sub in pq.subqueries:
+        sdf = _execute_select(triples, sub, stats)
+        if out is None:
+            out = sdf
+            continue
+        shared = [c for c in sdf.columns if c in out.columns]
+        if not shared:
+            raise SPARQLError(
+                f"subquery projecting {sdf.columns} shares no variable "
+                "with the outer group — a cartesian product; project a "
+                "joining variable")
+        out = out.join(sdf, on=shared)
     for v_names, v_rows in pq.values_clauses:
         if (out is not None and len(v_names) == 1
                 and v_names[0] in out.columns
@@ -2024,6 +2244,19 @@ def _agg_column(a: Aggregate):
         col = F.col(a.var)
         return (F.countDistinct(col) if a.distinct
                 else F.count(col)).alias(a.alias)
+    if a.fn == "SAMPLE":
+        # SAMPLE's choice is implementation-defined (SPARQL §18.5.1.12);
+        # this engine picks the encoding-order minimum — deterministic,
+        # so results are reproducible and oracle-comparable
+        return F.min(F.col(a.var)).alias(a.alias)
+    if a.fn == "GROUP_CONCAT":
+        # over the LEXICAL forms (the spec applies string semantics);
+        # concatenation order is codepoint-sorted — the spec leaves it
+        # undefined, a distributed engine must pick a deterministic one
+        lex = F.expr(_lex_sql(a.var))
+        vals = (F.collect_set(lex) if a.distinct else F.collect_list(lex))
+        sep = a.sep if a.sep is not None else " "
+        return F.array_join(F.sort_array(vals), sep).alias(a.alias)
     # numeric aggregates over the lexical form; TRY_CAST skips
     # non-numeric terms (SPARQL's error-term elision in SUM/AVG/MIN/MAX)
     num = F.expr(f"TRY_CAST({_lex_sql(a.var)} AS DOUBLE)")
@@ -2048,6 +2281,13 @@ def sparql_select(
         raise SPARQLError(
             f"sparql_select got a {pq.form} query — use "
             f"sparql_{pq.form.lower()}")
+    return _execute_select(triples, pq, stats)
+
+
+def _execute_select(triples: DataFrame, pq: ParsedQuery, stats) -> DataFrame:
+    """A parsed SELECT → result DataFrame (shared by :func:`sparql_select`
+    and subquery evaluation — a subquery is a full SELECT, modifiers
+    included, per SPARQL's bottom-up semantics)."""
     out = _bindings(triples, pq, stats)
     unknown = [v for v in (pq.select_vars or [])
                + [a.var for a in pq.aggregates if a.var]

@@ -218,3 +218,35 @@ def test_sink_predicate_stats_cached_per_session_and_input(
     analytics._sink_stats(spark, "/sink/two")
     assert len(calls) == 2
     analytics._STATS_CACHE.clear()
+
+
+def test_estimate_uses_measured_distinct_counts():
+    # VERDICT r7 #6: with per-predicate distinct counts a bound term
+    # divides by the MEASURED rows-per-key, not the constant 100.
+    from pyrml_spark.kg.query import _ND_O, _ND_S, _estimate
+
+    stats = {P_A: 1_000_000, P_B: 50_000, TOTAL_KEY: 1_050_000,
+             _ND_S + P_A: 500_000, _ND_O + P_A: 10,
+             _ND_S + P_B: 50_000, _ND_O + P_B: 50_000}
+    # bound subject on P_A: 1M rows / 500k subjects = 2 expected rows
+    assert _estimate(("<http://ex/s1>", P_A, "?y"), stats) == 2.0
+    # bound object on P_A (skewed: only 10 distinct objects): 100k rows
+    assert _estimate(("?x", P_A, "<http://ex/o1>"), stats) == 100_000.0
+    # the skew flips the greedy order vs the constant model: under /100
+    # the bound-o P_A pattern (10k) would lead over P_B (50k); measured
+    # NDV says it really yields 100k rows, so P_B correctly leads
+    plan = compile_bgp(
+        [("?x", P_A, "<http://ex/o1>"), ("?x", P_B, "?z")], stats=stats)
+    assert plan.order[0].pattern[1] == P_B
+    # absent ND keys degrade to the constant divisor (old-style dicts)
+    legacy = {P_A: 1_000_000, TOTAL_KEY: 1_000_000}
+    assert _estimate(("<http://ex/s1>", P_A, "?y"), legacy) == 10_000.0
+
+
+def test_predicate_stats_carries_distinct_counts(toy):
+    from pyrml_spark.kg.query import _ND_O, _ND_S
+
+    stats = predicate_stats(toy)
+    assert stats[_ND_S + P_A] == 2 and stats[_ND_O + P_A] == 2
+    assert stats[_ND_S + P_B] == 2 and stats[_ND_O + P_B] == 2
+    assert stats[TOTAL_KEY] == 7  # ND keys don't pollute the total

@@ -120,8 +120,6 @@ def test_filter_unbound_variable_is_loud():
     ("SELECT ?s WHERE { ?s <http://e/p> ?o . "
      "{ ?s <http://e/q> ?a } UNION { ?s <http://e/r> ?a } }",
      "top-level"),
-    ("SELECT (SAMPLE(?s) AS ?x) WHERE { ?s <http://e/p> ?o }",
-     "SAMPLE"),
     ("SELECT (SUM(?o) AS ?x) WHERE { ?s <http://e/p> ?o } HAVING (?x > 1)",
      "HAVING"),
     # MINUS/EXISTS are supported as whole constraints, not inside
@@ -496,10 +494,11 @@ def test_parse_path_desugar():
     # variable predicate followed by a path operator is loud
     with pytest.raises(SPARQLError, match="variable predicate"):
         parse_select("SELECT ?s WHERE { ?s ?p+ ?o }")
-    # negated property set is loud
-    with pytest.raises(SPARQLUnsupportedError, match="negated"):
-        parse_select(
-            "PREFIX e: <http://e/> SELECT ?s WHERE { ?s !(e:p) ?o }")
+    # negated property set (r8: supported) — scan + NOT IN filter
+    pq = parse_select(
+        "PREFIX e: <http://e/> SELECT ?s WHERE { ?s !(e:p) ?o }")
+    assert len(pq.patterns) == 1 and len(pq.filters) == 1
+    assert "NOT IN ('<http://e/p>')" in pq.filters[0]
     # closures inside OPTIONAL are loud
     with pytest.raises(SPARQLUnsupportedError, match="OPTIONAL"):
         parse_select(
@@ -1055,3 +1054,182 @@ def test_exec_bind_only_group(triples):
     out = sparql_select(triples, "SELECT ?x WHERE { BIND(7 AS ?x) }")
     assert _rows(out) == [
         ('"7"^^<http://www.w3.org/2001/XMLSchema#integer>',)]
+
+
+# ------------------------------------------ r8: negated property sets
+
+
+def test_parse_negated_property_set():
+    pq = parse_select(
+        "PREFIX e: <http://e/> SELECT ?s ?o WHERE { ?s !(e:name|a) ?o }")
+    assert len(pq.patterns) == 1
+    s, p, o = pq.patterns[0]
+    assert s == "?s" and o == "?o" and p.startswith("?_path")
+    assert pq.filters == [
+        f"(`{p[1:]}` NOT IN ('<http://e/name>', "
+        "'<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'))"]
+    assert p[1:] in pq.hidden_vars
+    # single-IRI form, also as a sequence step
+    pq = parse_select(
+        "PREFIX e: <http://e/> SELECT ?s ?x WHERE { ?s !e:name/e:age ?x }")
+    assert len(pq.patterns) == 2 and len(pq.filters) == 1
+
+
+def test_negated_property_set_loud_boundaries():
+    for q, msg in [
+        ("SELECT ?s WHERE { ?s !(^<http://e/p>) ?o }", "forward members"),
+        ("SELECT ?s WHERE { ?s ^!<http://e/p> ?o }", "swapped endpoints"),
+        ("SELECT ?s WHERE { ?s (!<http://e/p>)+ ?o }",
+         "closure/alternation"),
+        ("SELECT ?s WHERE { ?s !<http://e/p>|<http://e/q> ?o }",
+         "closure/alternation"),
+        ("CONSTRUCT { ?s !<http://e/p> ?o } WHERE "
+         "{ ?s <http://e/q> ?o }", "template"),
+    ]:
+        with pytest.raises(SPARQLUnsupportedError, match=msg):
+            parse_select(q)
+
+
+def test_exec_negated_property_set(triples):
+    # everything that isn't name/age/type: only the knows edges
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s ?o WHERE { ?s !(e:name|e:age|a) ?o }")
+    assert _rows(out) == [
+        ("<http://e/alice>", "<http://e/bob>"),
+        ("<http://e/bob>", "<http://e/alice>")]
+    # hidden predicate var does not leak into SELECT *
+    out = sparql_select(
+        triples, PFX + "SELECT * WHERE { ?s !(e:name|e:age|a) ?o }")
+    assert sorted(out.columns) == ["o", "s"]
+    # composes with a sequence: not-name of someone known
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s ?v WHERE { ?s e:knows/!(e:name|a) ?v }")
+    assert _rows(out) == [
+        ("<http://e/alice>",
+         '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://e/alice>", "<http://e/alice>"),
+        ("<http://e/bob>",
+         '"31"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://e/bob>", "<http://e/bob>")]
+
+
+# -------------------------------------- r8: SAMPLE / GROUP_CONCAT aggs
+
+
+def test_parse_sample_and_group_concat():
+    pq = parse_select(
+        "SELECT ?s (SAMPLE(?o) AS ?any) "
+        '(GROUP_CONCAT(DISTINCT ?o; SEPARATOR="|") AS ?all) '
+        "WHERE { ?s <http://e/p> ?o } GROUP BY ?s")
+    assert [(a.fn, a.distinct, a.sep) for a in pq.aggregates] == [
+        ("SAMPLE", False, None), ("GROUP_CONCAT", True, "|")]
+    with pytest.raises(SPARQLError, match="SEPARATOR"):
+        parse_select(
+            'SELECT (GROUP_CONCAT(?o; SEP="x") AS ?a) '
+            "WHERE { ?s <http://e/p> ?o }")
+    with pytest.raises(SPARQLUnsupportedError, match="HAVING"):
+        parse_select(
+            "SELECT (COUNT(*) AS ?n) WHERE { ?s <http://e/p> ?o } "
+            "GROUP BY ?s HAVING (SAMPLE(?o) > 1)")
+
+
+def test_exec_sample_and_group_concat(triples):
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s (SAMPLE(?o) AS ?one) "
+        '(GROUP_CONCAT(?n; SEPARATOR=", ") AS ?names) '
+        "WHERE { ?s e:knows ?o . ?o e:name ?n } GROUP BY ?s")
+    rows = {r["s"]: (r["one"], r["names"]) for r in out.collect()}
+    # single-element groups: SAMPLE returns the term, GROUP_CONCAT the
+    # UNESCAPED lexical form
+    assert rows["<http://e/alice>"] == ("<http://e/bob>", 'Bo"b')
+    assert rows["<http://e/bob>"] == ("<http://e/alice>", "Alice")
+    # multi-element group over all names of known-or-self persons
+    out = sparql_select(
+        triples,
+        PFX + 'SELECT (GROUP_CONCAT(?n; SEPARATOR="; ") AS ?names) '
+        "WHERE { ?s a e:Person . ?s e:name ?n }")
+    assert _rows(out) == [('Alice; Bo"b',)]  # codepoint-sorted
+    # DISTINCT collapses duplicates (two persons each know someone
+    # named-once: collect over a bag with dup types)
+    out = sparql_select(
+        triples,
+        PFX + "SELECT (GROUP_CONCAT(DISTINCT ?t) AS ?kinds) "
+        "WHERE { ?s e:knows ?o . ?s a ?t }")
+    assert _rows(out) == [("http://e/Person",)]
+
+
+# ------------------------------------------------------ r8: subqueries
+
+
+def test_parse_subquery_scope_and_guards():
+    pq = parse_select(
+        "PREFIX e: <http://e/> SELECT ?s ?mx WHERE { ?s e:knows ?o . "
+        "{ SELECT ?o (MAX(?a) AS ?mx) WHERE { ?o e:age ?a } "
+        "GROUP BY ?o } }")
+    assert len(pq.subqueries) == 1
+    sub = pq.subqueries[0]
+    assert sub.select_vars == ["o"] and sub.aggregates[0].alias == "mx"
+    assert pq.patterns == [("?s", "<http://e/knows>", "?o")]
+    # outer filter on the subquery aggregate defers past the join
+    pq = parse_select(
+        "PREFIX e: <http://e/> SELECT ?s WHERE { ?s e:knows ?o . "
+        "{ SELECT ?o (MAX(?a) AS ?mx) WHERE { ?o e:age ?a } GROUP BY ?o }"
+        " FILTER(?mx > 10) }")
+    assert pq.filters == [] and len(pq.post_filters) == 1
+    # aggregate alias as a pattern term is loud
+    with pytest.raises(SPARQLUnsupportedError, match="triple pattern"):
+        parse_select(
+            "PREFIX e: <http://e/> SELECT ?s WHERE { "
+            "{ SELECT ?o (MAX(?a) AS ?mx) WHERE { ?o e:age ?a } "
+            "GROUP BY ?o } ?s e:knows ?mx }")
+    # SELECT * subqueries are loud; so are subqueries inside OPTIONAL
+    with pytest.raises(SPARQLUnsupportedError, match="SELECT \\*"):
+        parse_select(
+            "PREFIX e: <http://e/> SELECT ?s WHERE { ?s e:p ?o . "
+            "{ SELECT * WHERE { ?o e:q ?z } } }")
+    with pytest.raises(SPARQLUnsupportedError, match="OPTIONAL"):
+        parse_select(
+            "PREFIX e: <http://e/> SELECT ?s WHERE { ?s e:p ?o "
+            "OPTIONAL { { SELECT ?o WHERE { ?o e:q ?z } } } }")
+
+
+def test_exec_subquery_agg_join(triples):
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s ?mx WHERE { ?s e:knows ?o . "
+        "{ SELECT ?o (MAX(?a) AS ?mx) WHERE { ?o e:age ?a } "
+        "GROUP BY ?o } }")
+    assert _rows(out) == [("<http://e/alice>", 7.0),
+                          ("<http://e/bob>", 31.0)]
+    # deferred FILTER over the subquery aggregate
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s e:knows ?o . "
+        "{ SELECT ?o (MAX(?a) AS ?mx) WHERE { ?o e:age ?a } GROUP BY ?o }"
+        " FILTER(?mx > 10) }")
+    assert _rows(out) == [("<http://e/bob>",)]
+
+
+def test_exec_subquery_topk_then_join(triples):
+    # the top-k-then-join idiom: oldest person's name
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?n WHERE { "
+        "{ SELECT ?s WHERE { ?s e:age ?a } ORDER BY DESC(?a) LIMIT 1 } "
+        "?s e:name ?n }")
+    assert _rows(out) == [('"Alice"',)]
+    # subquery-only group
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { "
+        "{ SELECT ?s WHERE { ?s e:age ?a } ORDER BY ?a LIMIT 1 } }")
+    assert _rows(out) == [("<http://e/bob>",)]
+    # no shared variable → loud cartesian
+    with pytest.raises(SPARQLError, match="cartesian"):
+        sparql_select(
+            triples,
+            PFX + "SELECT ?s ?z WHERE { ?s e:age ?a . "
+            "{ SELECT ?z WHERE { ?z e:name ?n } } }")
