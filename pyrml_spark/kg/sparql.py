@@ -59,8 +59,12 @@ at parse time — loud, never a silent approximation):
   to a whole negated set, and negated sets under closures/alternations
   stay loud. Alternation/closure inside OPTIONAL/UNION stay loud.
 * ``FILTER`` expressions: ``&&  ||  !  ( )``, comparisons
-  ``= != < > <= >=``, and the functions ``STR LANG REGEX STRSTARTS
-  STRENDS CONTAINS STRLEN isIRI isURI isLiteral isBlank``.
+  ``= != < > <= >=``, and the functions ``STR LANG DATATYPE BOUND
+  REGEX REPLACE STRSTARTS STRENDS CONTAINS STRLEN SUBSTR UCASE LCASE
+  STRBEFORE STRAFTER CONCAT IRI isIRI isURI isLiteral isBlank``.
+  Top-level filters over OPTIONAL-introduced variables evaluate after
+  the left joins (group scope) — ``FILTER(!BOUND(?x))`` is the
+  supported negation idiom.
 * ``GRAPH ?g { ... }`` / ``GRAPH <iri> { ... }`` over a quads
   DataFrame (s, p, o, g): the graph term extends every pattern of the
   group to a quad — one more pruned/bound scan column, handled by the
@@ -376,6 +380,10 @@ class ParsedQuery:
     # top-level FILTERs referencing a BIND alias: applied after the
     # binds (and bind_patterns) instead of inside the BGP
     post_filters: List[str] = field(default_factory=list)
+    # top-level FILTERs referencing OPTIONAL-introduced variables:
+    # applied after every OPTIONAL left-joins (SPARQL group scope — the
+    # filter sees the extended solutions; enables FILTER(!BOUND(?x)))
+    optional_filters: List[str] = field(default_factory=list)
     # { SELECT ... } subqueries in the required group: each runs as its
     # own full SELECT (fresh scope — SPARQL bottom-up evaluation) and
     # inner-joins the outer bag on the shared PROJECTED variables
@@ -969,6 +977,29 @@ class _Parser:
         self._pending_values = []
         self._pending_binds = []
         self._pending_subqueries = []
+        # top-level FILTERs over OPTIONAL-introduced variables evaluate
+        # AFTER the left joins (SPARQL's group scope): !BOUND(?x) is the
+        # negation idiom, and any comparison over an unbound var is a
+        # type error that drops the row — both need the joined bag
+        opt_vars = {t[1:] for pats, _ in pq.optionals for pat in pats
+                    for t in pat if is_var(t)}
+        req_vars = ({t[1:] for pat in pq.patterns for t in pat
+                     if is_var(t)}
+                    | {t[1:] for st, _, ot in pq.path_patterns
+                       for t in (st, ot) if is_var(t)}
+                    | {v for names, _ in pq.values_clauses
+                       for v in names}
+                    | {a for a, _, _ in pq.binds}
+                    | {v for sub in pq.subqueries
+                       for v in _subquery_proj(sub)})
+        opt_only = opt_vars - req_vars
+        if opt_only and pq.filters:
+            ref = re.compile("|".join(rf"`{re.escape(v)}`"
+                                      for v in sorted(opt_only)))
+            moved_f = [f for f in pq.filters if ref.search(f)]
+            if moved_f:
+                pq.optional_filters = moved_f
+                pq.filters = [f for f in pq.filters if f not in moved_f]
         if pq.binds:
             aliases = {a for a, _, _ in pq.binds}
             # required-group patterns referencing an alias can't run in
@@ -1737,6 +1768,80 @@ class _Parser:
             args = self._fn_args(name, 1, 64)
             parts = ", ".join(self._as_lexical(a) for a in args)
             return (self._LEX, f"concat({parts})")
+        if name == "BOUND":
+            (a,) = self._fn_args(name, 1, 1)
+            if a[0] != self._VAR:
+                raise SPARQLError("BOUND takes a variable")
+            return (self._BOOL, f"({_col(a[1])} IS NOT NULL)")
+        if name in ("UCASE", "LCASE"):
+            (a,) = self._fn_args(name, 1, 1)
+            fn = "upper" if name == "UCASE" else "lower"
+            return (self._LEX, f"{fn}({self._as_lexical(a)})")
+        if name == "SUBSTR":
+            args = self._fn_args(name, 2, 3)
+            src = self._as_lexical(args[0])
+            for k in args[1:]:
+                if k[0] != self._NUMERIC or not re.fullmatch(r"\d+", k[1]):
+                    raise SPARQLError(
+                        "SUBSTR position/length must be non-negative "
+                        "integer constants")
+            if len(args) == 2:
+                return (self._LEX, f"substring({src}, {args[1][1]})")
+            return (self._LEX,
+                    f"substring({src}, {args[1][1]}, {args[2][1]})")
+        if name in ("STRBEFORE", "STRAFTER"):
+            a, b = self._fn_args(name, 2, 2)
+            sa, sb = self._as_lexical(a), self._as_lexical(b)
+            # spec: "" when there is no occurrence; the empty-needle
+            # cases fall out of instr()=1 (STRBEFORE → "", STRAFTER → x)
+            if name == "STRBEFORE":
+                sql = (f"(CASE WHEN instr({sa}, {sb}) > 0 THEN "
+                       f"substring({sa}, 1, instr({sa}, {sb}) - 1) "
+                       f"ELSE '' END)")
+            else:
+                sql = (f"(CASE WHEN instr({sa}, {sb}) > 0 THEN "
+                       f"substring({sa}, instr({sa}, {sb}) + "
+                       f"length({sb})) ELSE '' END)")
+            return (self._LEX, sql)
+        if name == "REPLACE":
+            args = self._fn_args(name, 3, 4)
+            src = self._as_lexical(args[0])
+            for k in (1, 2):
+                if args[k][0] != self._TERM or not args[k][1].startswith('"'):
+                    raise SPARQLError(
+                        "REPLACE pattern/replacement must be string "
+                        "literals")
+            pat = _term_lexical(args[1][1])
+            rep = _term_lexical(args[2][1])
+            if len(args) == 4:
+                flags = (_term_lexical(args[3][1])
+                         if args[3][0] == self._TERM else None)
+                if flags not in ("i", "s", "m", "is", "si", "im", "mi",
+                                 "sm", "ms"):
+                    raise SPARQLUnsupportedError(
+                        "REPLACE flags other than combinations of i/s/m "
+                        "are outside the supported subset")
+                pat = f"(?{flags})" + pat
+            return (self._LEX,
+                    f"regexp_replace({src}, {_sql_str(pat)}, "
+                    f"{_sql_str(rep)})")
+        if name == "DATATYPE":
+            (a,) = self._fn_args(name, 1, 1)
+            if a[0] != self._VAR:
+                raise SPARQLError("DATATYPE takes a variable")
+            c = _col(a[1])
+            ext = f"regexp_extract({c}, '\\\\^\\\\^<([^>]*)>$', 1)"
+            # literal → its datatype IRI (typed: the tag; lang-tagged:
+            # rdf:langString; plain: xsd:string); non-literal → NULL
+            # (SPARQL type error, the row drops out of comparisons)
+            return (self._IRI,
+                    f"(CASE WHEN substring({c}, 1, 1) = '\"' THEN "
+                    f"CASE WHEN {ext} != '' THEN {ext} "
+                    f"WHEN {c} RLIKE '@[A-Za-z0-9-]+$' THEN "
+                    f"'http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                    f"langString' "
+                    f"ELSE 'http://www.w3.org/2001/XMLSchema#string' "
+                    f"END END)")
         if name in ("IRI", "URI"):
             (a,) = self._fn_args(name, 1, 1)
             return (self._IRI, self._as_lexical(a))
@@ -1756,8 +1861,9 @@ class _Parser:
                 "the supported subset)")
         raise SPARQLUnsupportedError(
             f"FILTER function {t.text}(...) at offset {t.pos} is outside "
-            "the supported subset (STR LANG REGEX STRSTARTS STRENDS "
-            "CONTAINS STRLEN isIRI isLiteral isBlank)")
+            "the supported subset (STR LANG DATATYPE BOUND REGEX REPLACE "
+            "STRSTARTS STRENDS CONTAINS STRLEN SUBSTR UCASE LCASE "
+            "STRBEFORE STRAFTER CONCAT IRI isIRI isLiteral isBlank)")
 
 
 # ------------------------------------------------------- SQL fragments
@@ -2187,6 +2293,8 @@ def _bindings(triples: DataFrame, pq: ParsedQuery, stats) -> DataFrame:
                 "such keys is outside the supported subset; bind the "
                 "variable in the required group")
         out = out.join(right, on=shared, how="left")
+    for f_expr in pq.optional_filters:
+        out = out.filter(F.expr(f_expr))
     if pq.hidden_vars:
         keep = [c for c in out.columns if c not in pq.hidden_vars]
         out = out.select(*keep)

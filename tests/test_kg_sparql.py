@@ -1233,3 +1233,103 @@ def test_exec_subquery_topk_then_join(triples):
             triples,
             PFX + "SELECT ?s ?z WHERE { ?s e:age ?a . "
             "{ SELECT ?z WHERE { ?z e:name ?n } } }")
+
+
+# -------------------- r8: BOUND / optional-scope filters / string fns
+
+
+def test_exec_bound_negation_idiom(triples):
+    # persons with NO age (none in the fixture have a missing age —
+    # club is not a Person; add the org to make it interesting)
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s a ?t "
+        "OPTIONAL { ?s e:age ?a } FILTER(!BOUND(?a)) }")
+    assert _rows(out) == [("<http://e/club>",)]
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s a ?t "
+        "OPTIONAL { ?s e:age ?a } FILTER(BOUND(?a)) } ORDER BY ?s")
+    assert [r["s"] for r in out.collect()] == [
+        "<http://e/alice>", "<http://e/bob>"]
+    # a comparison over an optional var drops unbound rows (type error)
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s a ?t "
+        "OPTIONAL { ?s e:age ?a } FILTER(?a > 10) }")
+    assert _rows(out) == [("<http://e/alice>",)]
+
+
+def test_parse_optional_filter_placement():
+    pq = parse_select(
+        "PREFIX e: <http://e/> SELECT ?s WHERE { ?s a ?t "
+        "OPTIONAL { ?s e:age ?a } FILTER(!BOUND(?a)) "
+        'FILTER(STRSTARTS(STR(?s), "http://")) }')
+    # the BOUND filter defers to optional scope; the ?s filter stays
+    # in the BGP for scan pushdown
+    assert len(pq.optional_filters) == 1 and len(pq.filters) == 1
+    assert "IS NOT NULL" in pq.optional_filters[0]
+
+
+def test_exec_string_functions(triples):
+    out = sparql_select(
+        triples,
+        PFX + 'SELECT ?s WHERE { ?s e:name ?n FILTER(UCASE(?n) = "ALICE") }')
+    assert _rows(out) == [("<http://e/alice>",)]
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s e:name ?n "
+        'FILTER(LCASE(SUBSTR(?n, 1, 1)) = "a") }')
+    assert _rows(out) == [("<http://e/alice>",)]
+    # STRBEFORE/STRAFTER on the IRI lexical
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s a e:Person "
+        'FILTER(STRAFTER(STR(?s), "http://e/") = "bob") }')
+    assert _rows(out) == [("<http://e/bob>",)]
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s a e:Person "
+        'FILTER(STRBEFORE(STR(?s), "/bob") = "http://e") }')
+    assert _rows(out) == [("<http://e/bob>",)]
+    # no occurrence → "" (spec)
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s a e:Org "
+        'FILTER(STRBEFORE(STR(?s), "zzz") = "") }')
+    assert _rows(out) == [("<http://e/club>",)]
+    # REPLACE with regex + flags
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s e:name ?n "
+        'FILTER(REPLACE(?n, "[aeiou]", "_", "i") = "_l_c_") }')
+    assert _rows(out) == [("<http://e/alice>",)]
+
+
+def test_exec_datatype(triples):
+    out = sparql_select(
+        triples,
+        PFX + "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT ?s WHERE { ?s ?p ?o "
+        "FILTER(DATATYPE(?o) = xsd:integer) } ORDER BY ?s")
+    assert [r["s"] for r in out.collect()] == [
+        "<http://e/alice>", "<http://e/bob>"]
+    # lang literal → rdf:langString; plain → xsd:string; IRI → type
+    # error (row drops)
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s e:name ?n FILTER(DATATYPE(?n) = "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>) }")
+    assert _rows(out) == [("<http://e/club>",)]
+    out = sparql_select(
+        triples,
+        PFX + "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT ?n WHERE { ?s e:name ?n "
+        "FILTER(DATATYPE(?n) = xsd:string) }")
+    assert out.count() == 2  # Alice + Bo"b (plain literals)
+    out = sparql_select(
+        triples,
+        PFX + "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT ?o WHERE { ?s e:knows ?o FILTER(DATATYPE(?o) = "
+        "xsd:string) }")
+    assert _rows(out) == []  # IRIs have no datatype — type error
