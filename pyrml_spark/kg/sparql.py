@@ -60,8 +60,11 @@ at parse time — loud, never a silent approximation):
   stay loud. Alternation/closure inside OPTIONAL/UNION stay loud.
 * ``FILTER`` expressions: ``&&  ||  !  ( )``, comparisons
   ``= != < > <= >=``, and the functions ``STR LANG DATATYPE BOUND
-  REGEX REPLACE STRSTARTS STRENDS CONTAINS STRLEN SUBSTR UCASE LCASE
-  STRBEFORE STRAFTER CONCAT IRI isIRI isURI isLiteral isBlank``.
+  COALESCE IF REGEX REPLACE STRSTARTS STRENDS CONTAINS STRLEN SUBSTR
+  UCASE LCASE STRBEFORE STRAFTER CONCAT IRI isIRI isURI isLiteral
+  isBlank`` (COALESCE/IF return terms — usable in BIND and
+  comparisons; IF's NULL-condition case yields unbound, per the
+  spec's error propagation).
   Top-level filters over OPTIONAL-introduced variables evaluate after
   the left joins (group scope) — ``FILTER(!BOUND(?x))`` is the
   supported negation idiom.
@@ -384,6 +387,11 @@ class ParsedQuery:
     # applied after every OPTIONAL left-joins (SPARQL group scope — the
     # filter sees the extended solutions; enables FILTER(!BOUND(?x)))
     optional_filters: List[str] = field(default_factory=list)
+    # BINDs whose expression references OPTIONAL-introduced variables
+    # (directly or via an earlier deferred alias): applied after the
+    # left joins, before optional_filters — COALESCE-over-OPTIONAL
+    optional_binds: List[Tuple[str, str, str]] = field(
+        default_factory=list)
     # { SELECT ... } subqueries in the required group: each runs as its
     # own full SELECT (fresh scope — SPARQL bottom-up evaluation) and
     # inner-joins the outer bag on the shared PROJECTED variables
@@ -869,7 +877,8 @@ class _Parser:
                     "bind them")
             pq = ParsedQuery(form="", select_vars=None, distinct=False,
                              patterns=[], filters=[])
-        bound = _bound_vars(pq) | {a for a, _, _ in pq.binds}
+        bound = _bound_vars(pq) | {a for a, _, _ in
+                                   pq.binds + pq.optional_binds}
         unbound = sorted(t[1:] for t in terms
                          if is_var(t) and t[1:] not in bound)
         if unbound:
@@ -916,7 +925,8 @@ class _Parser:
         pq = self._where_clause()
         pq.form = "CONSTRUCT"
         pq.template = template
-        bound = _bound_vars(pq) | {a for a, _, _ in pq.binds}
+        bound = _bound_vars(pq) | {a for a, _, _ in
+                                   pq.binds + pq.optional_binds}
         unbound = sorted(
             v[1:] for v in template_vars if v[1:] not in bound)
         if unbound:
@@ -993,13 +1003,37 @@ class _Parser:
                     | {v for sub in pq.subqueries
                        for v in _subquery_proj(sub)})
         opt_only = opt_vars - req_vars
-        if opt_only and pq.filters:
+        deferred_aliases: set = set()
+        if opt_only and pq.binds:
+            kept = []
+            for alias, kind, sql in pq.binds:
+                scope = opt_only | deferred_aliases
+                refp = re.compile("|".join(rf"`{re.escape(v)}`"
+                                           for v in sorted(scope)))
+                if refp.search(sql):
+                    pq.optional_binds.append((alias, kind, sql))
+                    deferred_aliases.add(alias)
+                else:
+                    kept.append((alias, kind, sql))
+            pq.binds = kept
+        opt_scope = opt_only | deferred_aliases
+        if opt_scope and pq.filters:
             ref = re.compile("|".join(rf"`{re.escape(v)}`"
-                                      for v in sorted(opt_only)))
+                                      for v in sorted(opt_scope)))
             moved_f = [f for f in pq.filters if ref.search(f)]
             if moved_f:
                 pq.optional_filters = moved_f
                 pq.filters = [f for f in pq.filters if f not in moved_f]
+        if deferred_aliases:
+            for pat in pq.patterns:
+                bad = [v for v in pat
+                       if is_var(v) and v[1:] in deferred_aliases]
+                if bad:
+                    raise SPARQLUnsupportedError(
+                        f"BIND alias {bad[0]} depends on OPTIONAL "
+                        "variables and cannot drive a triple-pattern "
+                        "join in this subset (bind it from required "
+                        "variables, or make the pattern OPTIONAL)")
         if pq.binds:
             aliases = {a for a, _, _ in pq.binds}
             # required-group patterns referencing an alias can't run in
@@ -1602,6 +1636,7 @@ class _Parser:
     _VAR = "var"           # encoded-term column
     _LEX = "lex"           # SQL expression producing a lexical form
     _IRI = "iri"           # SQL expression producing an IRI's lexical
+    _ENC = "enc"           # SQL expression producing an ENCODED term
     _BOOL = "bool"         # complete boolean SQL
 
     def _comparison(self) -> str:
@@ -1631,7 +1666,8 @@ class _Parser:
             # var-to-var / var-to-term compare ENCODED terms ("x" ≠
             # "x"@en — RDF term equality); anything involving a lexical
             # (STR(), a function result) compares lexical forms.
-            if {lk, rk} <= {self._VAR, self._TERM, self._IRI}:
+            if {lk, rk} <= {self._VAR, self._TERM, self._IRI,
+                            self._ENC}:
                 return (f"({self._as_encoded(lhs)} {op} "
                         f"{self._as_encoded(rhs)})")
             if self._NUMERIC in (lk, rk):
@@ -1671,6 +1707,8 @@ class _Parser:
             return _col(val)
         if kind == self._IRI:
             return f"concat('<', {val}, '>')"
+        if kind == self._ENC:
+            return val
         assert kind == self._TERM, kind
         return _sql_str(val)
 
@@ -1680,6 +1718,8 @@ class _Parser:
             return _lex_sql(val)
         if kind == self._TERM:
             return _sql_str(_term_lexical(val))
+        if kind == self._ENC:
+            return _lex_sql_of(val)
         return val  # _LEX (an SQL expression) / _NUMERIC
 
     def _operand(self):
@@ -1773,6 +1813,36 @@ class _Parser:
             if a[0] != self._VAR:
                 raise SPARQLError("BOUND takes a variable")
             return (self._BOOL, f"({_col(a[1])} IS NOT NULL)")
+        if name == "COALESCE":
+            args = self._fn_args(name, 1, 64)
+            if any(a[0] == self._BOOL for a in args):
+                raise SPARQLError(
+                    "COALESCE over boolean expressions is not supported"
+                    " (coalesce terms, compare after)")
+            encs = ", ".join(_bind_encode_sql(k, v) for k, v in args)
+            return (self._ENC, f"coalesce({encs})")
+        if name == "IF":
+            # the condition is a full boolean expression (comparisons,
+            # && || !), not a bare operand — parse it with the filter
+            # expression grammar
+            self.expect_op("(")
+            cond = self._or_expr()
+            self.expect_op(",")
+            a = self._operand()
+            self.expect_op(",")
+            b = self._operand()
+            self.expect_op(")")
+            c = (self._BOOL, cond)
+            if self._BOOL in (a[0], b[0]):
+                raise SPARQLError(
+                    "IF branches must be terms, not boolean expressions")
+            ea = _bind_encode_sql(a[0], a[1])
+            eb = _bind_encode_sql(b[0], b[1])
+            # NULL condition (SPARQL error) → NULL result (unbound),
+            # not the else branch — hence the explicit NOT arm
+            return (self._ENC,
+                    f"(CASE WHEN {c[1]} THEN {ea} "
+                    f"WHEN NOT ({c[1]}) THEN {eb} END)")
         if name in ("UCASE", "LCASE"):
             (a,) = self._fn_args(name, 1, 1)
             fn = "upper" if name == "UCASE" else "lower"
@@ -1861,9 +1931,10 @@ class _Parser:
                 "the supported subset)")
         raise SPARQLUnsupportedError(
             f"FILTER function {t.text}(...) at offset {t.pos} is outside "
-            "the supported subset (STR LANG DATATYPE BOUND REGEX REPLACE "
-            "STRSTARTS STRENDS CONTAINS STRLEN SUBSTR UCASE LCASE "
-            "STRBEFORE STRAFTER CONCAT IRI isIRI isLiteral isBlank)")
+            "the supported subset (STR LANG DATATYPE BOUND COALESCE IF "
+            "REGEX REPLACE STRSTARTS STRENDS CONTAINS STRLEN SUBSTR "
+            "UCASE LCASE STRBEFORE STRAFTER CONCAT IRI isIRI isLiteral "
+            "isBlank)")
 
 
 # ------------------------------------------------------- SQL fragments
@@ -1895,13 +1966,18 @@ def _term_lexical(term: str) -> str:
 
 
 def _lex_sql(var: str) -> str:
-    """SQL expression for a variable's lexical form (SPARQL ``STR``):
-    brackets off IRIs; quotes, ``@lang``/``^^dt`` and backslash-escapes
-    off literals; blank-node labels (and anything else) pass through.
-    ``regexp_replace(x, '\\\\(.)', '$1')`` is a correct full unescape —
-    left-to-right, non-overlapping, so ``\\\\`` → ``\\`` and ``\\"`` →
-    ``"`` in one pass."""
-    c = _col(var)
+    """SQL expression for a variable's lexical form (SPARQL ``STR``)."""
+    return _lex_sql_of(_col(var))
+
+
+def _lex_sql_of(c: str) -> str:
+    """Lexical form of an arbitrary SQL expression yielding an ENCODED
+    term: brackets off IRIs; quotes, ``@lang``/``^^dt`` and
+    backslash-escapes off literals; blank-node labels (and anything
+    else) pass through. ``regexp_replace(x, '\\\\(.)', '$1')`` is a
+    correct full unescape — left-to-right, non-overlapping, so
+    ``\\\\`` → ``\\`` and ``\\"`` → ``"`` in one pass. The expression is
+    interpolated several times — fine under codegen CSE."""
     return (
         f"(CASE WHEN substring({c}, 1, 1) = '<' "
         f"THEN substring({c}, 2, length({c}) - 2) "
@@ -2103,6 +2179,8 @@ def _bind_encode_sql(kind: str, sql: str) -> str:
     applied), an integer expression an xsd:integer literal."""
     if kind == _Parser._VAR:
         return _col(sql)
+    if kind == _Parser._ENC:
+        return sql
     if kind == _Parser._TERM:
         return _sql_str(sql)
     if kind == _Parser._IRI:
@@ -2293,6 +2371,8 @@ def _bindings(triples: DataFrame, pq: ParsedQuery, stats) -> DataFrame:
                 "such keys is outside the supported subset; bind the "
                 "variable in the required group")
         out = out.join(right, on=shared, how="left")
+    for alias, kind, sql in pq.optional_binds:
+        out = out.withColumn(alias, F.expr(_bind_encode_sql(kind, sql)))
     for f_expr in pq.optional_filters:
         out = out.filter(F.expr(f_expr))
     if pq.hidden_vars:

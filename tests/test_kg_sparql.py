@@ -1333,3 +1333,46 @@ def test_exec_datatype(triples):
         "SELECT ?o WHERE { ?s e:knows ?o FILTER(DATATYPE(?o) = "
         "xsd:string) }")
     assert _rows(out) == []  # IRIs have no datatype — type error
+
+
+# ------------------------------------------------- r8: COALESCE / IF
+
+
+def test_exec_coalesce_with_optional(triples):
+    # the classic default-value idiom over an OPTIONAL extension
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s ?age WHERE { ?s a ?t "
+        "OPTIONAL { ?s e:age ?a } "
+        'BIND(COALESCE(?a, "unknown") AS ?age) } ORDER BY ?s')
+    rows = {r["s"]: r["age"] for r in out.collect()}
+    assert rows["<http://e/alice>"] == (
+        '"31"^^<http://www.w3.org/2001/XMLSchema#integer>')
+    assert rows["<http://e/club>"] == '"unknown"'
+    # COALESCE in a FILTER comparison (term equality on the result)
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s a ?t OPTIONAL { ?s e:age ?a } "
+        'FILTER(COALESCE(?a, "unknown") = "unknown") }')
+    assert _rows(out) == [("<http://e/club>",)]
+
+
+def test_exec_if_expression(triples):
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s ?grp WHERE { ?s e:age ?a "
+        'BIND(IF(?a >= 18, "adult", "minor") AS ?grp) }')
+    rows = {r["s"]: r["grp"] for r in out.collect()}
+    assert rows == {"<http://e/alice>": '"adult"',
+                    "<http://e/bob>": '"minor"'}
+    # NULL condition (type error: name is not numeric) → unbound, and
+    # a comparison over unbound is itself a type error → row drops
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s WHERE { ?s e:name ?n "
+        'FILTER(IF(?n > 5, "x", "y") = "y") }')
+    assert _rows(out) == []
+    with pytest.raises(SPARQLError, match="boolean"):
+        parse_select(
+            'SELECT ?s WHERE { ?s <http://e/p> ?o '
+            'FILTER(IF(?o > 1, isIRI(?o), "z") = "z") }')
