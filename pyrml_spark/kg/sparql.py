@@ -1007,10 +1007,7 @@ class _Parser:
         if opt_only and pq.binds:
             kept = []
             for alias, kind, sql in pq.binds:
-                scope = opt_only | deferred_aliases
-                refp = re.compile("|".join(rf"`{re.escape(v)}`"
-                                           for v in sorted(scope)))
-                if refp.search(sql):
+                if _refs_any(sql, opt_only | deferred_aliases):
                     pq.optional_binds.append((alias, kind, sql))
                     deferred_aliases.add(alias)
                 else:
@@ -1018,22 +1015,32 @@ class _Parser:
             pq.binds = kept
         opt_scope = opt_only | deferred_aliases
         if opt_scope and pq.filters:
-            ref = re.compile("|".join(rf"`{re.escape(v)}`"
-                                      for v in sorted(opt_scope)))
-            moved_f = [f for f in pq.filters if ref.search(f)]
+            moved_f = [f for f in pq.filters if _refs_any(f, opt_scope)]
             if moved_f:
                 pq.optional_filters = moved_f
                 pq.filters = [f for f in pq.filters if f not in moved_f]
         if deferred_aliases:
-            for pat in pq.patterns:
-                bad = [v for v in pat
-                       if is_var(v) and v[1:] in deferred_aliases]
-                if bad:
-                    raise SPARQLUnsupportedError(
-                        f"BIND alias {bad[0]} depends on OPTIONAL "
-                        "variables and cannot drive a triple-pattern "
-                        "join in this subset (bind it from required "
-                        "variables, or make the pattern OPTIONAL)")
+            # a deferred alias's column does not exist until AFTER the
+            # OPTIONAL left-joins — any pattern-side use joins on a
+            # missing column (silently dropped correlation): loud in
+            # EVERY pattern context, not just the required group
+            hazard = ([("a triple pattern", pq.patterns)]
+                      + [("an OPTIONAL group", pats)
+                         for pats, _ in pq.optionals]
+                      + [("a FILTER EXISTS group", pats)
+                         for _, pats, _ in pq.exists_filters]
+                      + [("a MINUS group", pats)
+                         for pats, _ in pq.minus_groups])
+            for where, pats in hazard:
+                for pat in pats:
+                    bad = [v for v in pat
+                           if is_var(v) and v[1:] in deferred_aliases]
+                    if bad:
+                        raise SPARQLUnsupportedError(
+                            f"BIND alias {bad[0]} depends on OPTIONAL "
+                            f"variables and cannot join {where} in "
+                            "this subset (bind it from required "
+                            "variables, or restructure the query)")
         if pq.binds:
             aliases = {a for a, _, _ in pq.binds}
             # required-group patterns referencing an alias can't run in
@@ -1060,10 +1067,16 @@ class _Parser:
             # INSIDE OPTIONAL/EXISTS/MINUS sides compile in their own
             # BGP where the alias column either is re-bound by the
             # side's patterns (fine) or is unknown (loud at analysis)
-            ref = re.compile("|".join(rf"`{re.escape(a)}`"
-                                      for a in sorted(aliases)))
-            post = [f for f in pq.filters if ref.search(f)]
+            moved_only = ({t[1:] for pat in pq.bind_patterns
+                           for t in pat if is_var(t)}
+                          - {t[1:] for pat in pq.patterns
+                             for t in pat if is_var(t)} - aliases)
+            post = [f for f in pq.filters
+                    if _refs_any(f, aliases | moved_only)]
             if post:
+                # filters over the alias OR over variables bound only
+                # by a moved pattern apply after the bind-pattern join
+                # (the required BGP no longer binds those columns)
                 pq.post_filters = post
                 pq.filters = [f for f in pq.filters if f not in post]
         if pq.subqueries:
@@ -1089,9 +1102,8 @@ class _Parser:
             sub_only = {v for sub in pq.subqueries
                         for v in _subquery_proj(sub)} - pattern_only
             if sub_only:
-                ref = re.compile("|".join(rf"`{re.escape(v)}`"
-                                          for v in sorted(sub_only)))
-                post = [f for f in pq.filters if ref.search(f)]
+                post = [f for f in pq.filters
+                        if _refs_any(f, sub_only)]
                 if post:
                     pq.post_filters.extend(post)
                     pq.filters = [f for f in pq.filters
@@ -1944,6 +1956,16 @@ def _col(var: str) -> str:
     return f"`{var}`"
 
 
+def _refs_any(sql: str, names) -> bool:
+    """Does a generated SQL fragment reference any of the backticked
+    variable columns? String literals are masked first (backslash and
+    ''-doubled escapes), so a constant containing a backticked name
+    cannot misclassify the fragment."""
+    masked = re.sub(
+        r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\"", "''", sql)
+    return any(f"`{v}`" in masked for v in names)
+
+
 def _sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
@@ -2186,8 +2208,18 @@ def _bind_encode_sql(kind: str, sql: str) -> str:
     if kind == _Parser._IRI:
         return f"concat('<', {sql}, '>')"
     if kind == _Parser._NUMERIC:
+        # a numeric CONSTANT keeps its XSD type per the SPARQL token
+        # rules (integer / decimal / double); non-constant numeric
+        # expressions (STRLEN) are integer-valued
+        if re.fullmatch(r"[+-]?\d+\.\d+", sql):
+            dt = "decimal"
+        elif re.fullmatch(r"[+-]?(?:\d+\.\d+[eE][+-]?\d+"
+                          r"|\d+[eE][+-]?\d+)", sql):
+            dt = "double"
+        else:
+            dt = "integer"
         return ("concat('\"', CAST(" + sql + " AS STRING), "
-                "'\"^^<http://www.w3.org/2001/XMLSchema#integer>')")
+                f"'\"^^<http://www.w3.org/2001/XMLSchema#{dt}>')")
     assert kind == _Parser._LEX, kind
     esc = (f"replace(replace({sql}, '\\\\', '\\\\\\\\'), "
            f"'\"', '\\\\\"')")
@@ -2237,7 +2269,8 @@ def _bindings(triples: DataFrame, pq: ParsedQuery, stats) -> DataFrame:
         return out
 
     if stats == "auto" and (pq.optionals or pq.path_patterns
-                            or pq.subqueries):
+                            or pq.subqueries or pq.bind_patterns
+                            or pq.exists_filters or pq.minus_groups):
         from .query import predicate_stats
         stats = predicate_stats(triples)
     out = None
@@ -2438,13 +2471,17 @@ def _agg_column(a: Aggregate):
         # so results are reproducible and oracle-comparable
         return F.min(F.col(a.var)).alias(a.alias)
     if a.fn == "GROUP_CONCAT":
-        # over the LEXICAL forms (the spec applies string semantics);
-        # concatenation order is codepoint-sorted — the spec leaves it
-        # undefined, a distributed engine must pick a deterministic one
-        lex = F.expr(_lex_sql(a.var))
-        vals = (F.collect_set(lex) if a.distinct else F.collect_list(lex))
+        # DISTINCT applies to TERMS (spec: Distinct(ListEval(...)))
+        # BEFORE the string conversion, so "x" and "x"@en both survive;
+        # concatenation is then over the lexical forms in
+        # codepoint-sorted order — the spec leaves order undefined, a
+        # distributed engine must pick a deterministic one
+        coll = "collect_set" if a.distinct else "collect_list"
+        lex_of_t = _lex_sql_of("t")
         sep = a.sep if a.sep is not None else " "
-        return F.array_join(F.sort_array(vals), sep).alias(a.alias)
+        return F.expr(
+            f"array_join(sort_array(transform({coll}(`{a.var}`), "
+            f"t -> {lex_of_t})), {_sql_str(sep)})").alias(a.alias)
     # numeric aggregates over the lexical form; TRY_CAST skips
     # non-numeric terms (SPARQL's error-term elision in SUM/AVG/MIN/MAX)
     num = F.expr(f"TRY_CAST({_lex_sql(a.var)} AS DOUBLE)")

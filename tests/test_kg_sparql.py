@@ -1376,3 +1376,58 @@ def test_exec_if_expression(triples):
         parse_select(
             'SELECT ?s WHERE { ?s <http://e/p> ?o '
             'FILTER(IF(?o > 1, isIRI(?o), "z") = "z") }')
+
+
+# ----------------------------------- r8: self-review regression fixes
+
+
+def test_deferred_bind_alias_in_pattern_contexts_is_loud(triples):
+    # an alias computed from OPTIONAL vars has no column until after
+    # the left joins — using it to correlate any pattern context would
+    # silently drop the correlation; must be loud everywhere
+    base = (PFX + "SELECT ?s WHERE { ?s a e:Person "
+            "OPTIONAL { ?s e:age ?a } BIND(STR(?a) AS ?x) ")
+    for tail in ["?t e:q ?x }",
+                 "OPTIONAL { ?s e:p ?t . ?t e:q ?x } }",
+                 "FILTER EXISTS { ?s e:p ?x } }",
+                 "MINUS { ?s e:p ?x } }"]:
+        with pytest.raises(SPARQLUnsupportedError,
+                           match="depends on OPTIONAL"):
+            parse_select(base + tail)
+
+
+def test_group_concat_distinct_is_term_level(spark):
+    # "x" and "x"@en are DISTINCT TERMS sharing a lexical form — both
+    # survive DISTINCT (spec: Distinct before the string conversion)
+    df = spark.createDataFrame(
+        [("<http://e/s>", "<http://e/p>", '"x"'),
+         ("<http://e/s>", "<http://e/p>", '"x"@en'),
+         ("<http://e/s>", "<http://e/p>", '"x"')],
+        ["s", "p", "o"])
+    out = sparql_select(
+        df, "SELECT (GROUP_CONCAT(DISTINCT ?o) AS ?c) "
+        "WHERE { ?s <http://e/p> ?o }")
+    assert _rows(out) == [("x x",)]
+    out = sparql_select(
+        df, "SELECT (GROUP_CONCAT(?o) AS ?c) WHERE { ?s <http://e/p> ?o }")
+    assert _rows(out) == [("x x x",)]
+
+
+def test_coalesce_nested_numeric_keeps_xsd_type(triples):
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s ?v WHERE { ?s a ?t OPTIONAL { ?s e:age ?a } "
+        "BIND(COALESCE(?a, 2.5) AS ?v) }")
+    rows = {r["s"]: r["v"] for r in out.collect()}
+    assert rows["<http://e/club>"] == (
+        '"2.5"^^<http://www.w3.org/2001/XMLSchema#decimal>')
+
+
+def test_filter_over_bind_pattern_variable(triples):
+    # ?z is bound by a pattern that moved to bind_patterns — its filter
+    # must ride along (was: 'references no query variable')
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?s ?z WHERE { ?s a e:Person . BIND(?s AS ?w) . "
+        "?w e:name ?z FILTER(STRLEN(?z) > 4) }")
+    assert _rows(out) == [("<http://e/alice>", '"Alice"')]
