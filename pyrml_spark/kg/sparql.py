@@ -59,10 +59,10 @@ at parse time — loud, never a silent approximation):
   to a whole negated set, and negated sets under closures/alternations
   stay loud. Alternation/closure inside OPTIONAL/UNION stay loud.
 * ``FILTER`` expressions: ``&&  ||  !  ( )``, comparisons
-  ``= != < > <= >=``, and the functions ``STR LANG DATATYPE BOUND
-  COALESCE IF REGEX REPLACE STRSTARTS STRENDS CONTAINS STRLEN SUBSTR
-  UCASE LCASE STRBEFORE STRAFTER CONCAT IRI isIRI isURI isLiteral
-  isBlank`` (COALESCE/IF return terms — usable in BIND and
+  ``= != < > <= >=``, and the functions ``STR LANG LANGMATCHES
+  DATATYPE BOUND COALESCE IF REGEX REPLACE STRSTARTS STRENDS CONTAINS
+  STRLEN SUBSTR UCASE LCASE STRBEFORE STRAFTER CONCAT IRI STRDT
+  STRLANG isIRI isURI isLiteral isBlank`` (COALESCE/IF return terms — usable in BIND and
   comparisons; IF's NULL-condition case yields unbound, per the
   spec's error propagation).
   Top-level filters over OPTIONAL-introduced variables evaluate after
@@ -1825,6 +1825,41 @@ class _Parser:
             if a[0] != self._VAR:
                 raise SPARQLError("BOUND takes a variable")
             return (self._BOOL, f"({_col(a[1])} IS NOT NULL)")
+        if name == "LANGMATCHES":
+            a, b = self._fn_args(name, 2, 2)
+            if b[0] != self._TERM or not b[1].startswith('"'):
+                raise SPARQLError(
+                    "LANGMATCHES range must be a string literal")
+            rng = _term_lexical(b[1]).lower()
+            la = f"lower({self._as_lexical(a)})"
+            if rng == "*":
+                return (self._BOOL, f"({la} != '')")
+            # RFC 4647 basic filtering: exact tag or subtag prefix
+            return (self._BOOL,
+                    f"({la} = {_sql_str(rng)} OR "
+                    f"startswith({la}, {_sql_str(rng + '-')}))")
+        if name in ("STRDT", "STRLANG"):
+            a, b = self._fn_args(name, 2, 2)
+            lex = self._as_lexical(a)
+            esc = (f"replace(replace({lex}, '\\\\', '\\\\\\\\'), "
+                   f"'\"', '\\\\\"')")
+            if name == "STRDT":
+                if b[0] != self._TERM or not b[1].startswith("<"):
+                    raise SPARQLError(
+                        "STRDT datatype must be a constant IRI")
+                suffix = f'"^^{b[1]}'
+            else:
+                if b[0] != self._TERM or not b[1].startswith('"'):
+                    raise SPARQLError(
+                        "STRLANG tag must be a string literal")
+                tag = _term_lexical(b[1])
+                if not re.fullmatch(r"[A-Za-z]+(?:-[A-Za-z0-9]+)*", tag):
+                    raise SPARQLError(
+                        f"STRLANG tag {tag!r} is not a valid "
+                        "language tag")
+                suffix = f'"@{tag}'
+            return (self._ENC,
+                    f"concat('\"', {esc}, {_sql_str(suffix)})")
         if name == "COALESCE":
             args = self._fn_args(name, 1, 64)
             if any(a[0] == self._BOOL for a in args):
@@ -1943,10 +1978,10 @@ class _Parser:
                 "the supported subset)")
         raise SPARQLUnsupportedError(
             f"FILTER function {t.text}(...) at offset {t.pos} is outside "
-            "the supported subset (STR LANG DATATYPE BOUND COALESCE IF "
-            "REGEX REPLACE STRSTARTS STRENDS CONTAINS STRLEN SUBSTR "
-            "UCASE LCASE STRBEFORE STRAFTER CONCAT IRI isIRI isLiteral "
-            "isBlank)")
+            "the supported subset (STR LANG LANGMATCHES DATATYPE BOUND "
+            "COALESCE IF REGEX REPLACE STRSTARTS STRENDS CONTAINS "
+            "STRLEN SUBSTR UCASE LCASE STRBEFORE STRAFTER CONCAT IRI "
+            "STRDT STRLANG isIRI isLiteral isBlank)")
 
 
 # ------------------------------------------------------- SQL fragments

@@ -1431,3 +1431,47 @@ def test_filter_over_bind_pattern_variable(triples):
         PFX + "SELECT ?s ?z WHERE { ?s a e:Person . BIND(?s AS ?w) . "
         "?w e:name ?z FILTER(STRLEN(?z) > 4) }")
     assert _rows(out) == [("<http://e/alice>", '"Alice"')]
+
+
+# ------------------------------- r8: LANGMATCHES / STRDT / STRLANG
+
+
+def test_exec_langmatches(triples):
+    out = sparql_select(
+        triples,
+        PFX + 'SELECT ?s WHERE { ?s e:name ?n '
+        'FILTER(LANGMATCHES(LANG(?n), "en")) }')
+    assert _rows(out) == [("<http://e/club>",)]
+    out = sparql_select(
+        triples,
+        PFX + 'SELECT ?s WHERE { ?s e:name ?n '
+        'FILTER(LANGMATCHES(LANG(?n), "*")) }')
+    assert _rows(out) == [("<http://e/club>",)]
+    # range prefix matching per RFC 4647 basic filtering
+    df = triples.sparkSession.createDataFrame(
+        [("<http://e/x>", "<http://e/name>", '"Hallo"@de-AT')],
+        ["s", "p", "o"])
+    out = sparql_select(
+        df, 'SELECT ?s WHERE { ?s <http://e/name> ?n '
+        'FILTER(LANGMATCHES(LANG(?n), "de")) }')
+    assert _rows(out) == [("<http://e/x>",)]
+
+
+def test_exec_strdt_strlang(triples):
+    out = sparql_select(
+        triples,
+        PFX + "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT ?s ?v WHERE { ?s e:name ?n "
+        "BIND(STRDT(STR(?n), xsd:token) AS ?v) } ORDER BY ?s LIMIT 1")
+    assert _rows(out) == [(
+        "<http://e/alice>",
+        '"Alice"^^<http://www.w3.org/2001/XMLSchema#token>')]
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?v WHERE { <http://e/bob> e:name ?n "
+        'BIND(STRLANG(STR(?n), "en-GB") AS ?v) }')
+    # the \" escape in Bo"b survives the re-encoding
+    assert _rows(out) == [('"Bo\\"b"@en-GB',)]
+    with pytest.raises(SPARQLError, match="language tag"):
+        parse_select('SELECT ?v WHERE { ?s <http://e/p> ?n '
+                     'BIND(STRLANG(STR(?n), "9x!") AS ?v) }')
