@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..scan import read_parquet_parallel
+
 # ---------------------------------------------------------------------------
 # Per-domain document cap
 # ---------------------------------------------------------------------------
@@ -73,7 +75,7 @@ def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase shape as the ANN top-k (`similarity._two_phase_topk`);
     both shuffles are bounded, neither depends on domain cardinality.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     ranked = docs.select(
         "doc_id", "source",
         F.md5(F.col("doc_id").cast("string")).alias("rank_key"),
@@ -162,7 +164,7 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates), identical in shape to `dedup_exact` — at 100 TB the
     shuffle carries one slim row per URL variant, never the document
     bodies."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     with_url = docs.select(
         "doc_id",
         _synthetic_url(F.col("doc_id"), F.col("source")).alias("url"),
@@ -235,7 +237,7 @@ def corpus_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3) exact global rank over the ≤ 32·k survivors. Total order is
     (count DESC, ngram ASC) at every phase, so the global top-k is exact
     — same argument as `similarity._two_phase_topk`."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     toks = F.split(F.col("text"), r"\s+")
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -321,7 +323,7 @@ def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs — order restored without an extra sort shuffle beyond the
     groupBy)."""
     docs = _with_boilerplate(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        read_parquet_parallel(spark, f"{sf_dir}/documents.parquet"))
     toks = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(toks) / CHUNK_WORDS).cast("int")
     chunk_at = lambda i: F.array_join(  # noqa: E731

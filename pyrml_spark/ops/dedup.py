@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scan import read_parquet_parallel
+
 N_MINHASH = 16           # minhash permutations
 LSH_BANDS = 4            # bands of 4 rows each
 SHINGLE_N = 3            # word 3-grams
@@ -41,7 +43,7 @@ def _word_shingles(col, n: int = SHINGLE_N):
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: per distinct text, the surviving doc_id (min) and the
     group size. Map-side-combinable aggregation — one shuffle on text hash."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     return (
         docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
         .agg(
@@ -65,7 +67,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     denominator side (standard stopword-shingle filtering): a hot shingle key
     turns the self-join into an O(df²) blowup — the cap bounds every join
     bucket, and the oracle applies the identical cap."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     sh_all = docs.select(
         "doc_id", F.explode(_word_shingles(F.col("text"))).alias("shingle")
     )
@@ -161,7 +163,7 @@ def dedup_neardup_clusters(spark: SparkSession, sf_dir: str,
     keep = doc_id == cluster_id); singletons keep themselves."""
     from ..kg.canonicalize import connected_components
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     pairs = dedup_ngram_jaccard(spark, sf_dir, threshold) \
         .select("doc_a", "doc_b")
 
@@ -261,7 +263,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
     bucket sizes, no all-pairs). Estimated J = fraction of matching minhashes.
     md5 hash family throughout ⇒ the DuckDB oracle reproduces the exact pair
     set (ORACLE_MINHASH_LSH)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     sigs = minhash_signatures(docs)
     rows_per_band = N_MINHASH // LSH_BANDS
     banded = sigs.select(
@@ -289,7 +291,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
     # — a persist here only added cache-write overhead (measured).
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # jaccard_est is a pure function of the pair's signatures, so computing
+    # it in the join projection and filtering BEFORE dropDuplicates yields
+    # the identical pair set — but the dedup exchange then carries
+    # (doc_a, doc_b, est) ≈ 24 bytes per row instead of two 16×32-char
+    # signature arrays (~1.1 KB per row), and only threshold-passing pairs
+    # at that (guide §2.3: project before the exchange / shuffle fewer
+    # bytes). Duplicate-heavy corpora put whole clusters in one band bucket,
+    # so the pre-dedup candidate set is the d²-sized part.
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"),
+                           lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / N_MINHASH
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -299,24 +319,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.round(est, 6).alias("jaccard_est"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"),
-                           lambda x, y: x == y),
-                lambda m: m,
-            )
-        )
-        / N_MINHASH
-    )
-    return (
-        cand.select("doc_a", "doc_b", F.round(est, 6).alias("jaccard_est"))
         .filter(F.col("jaccard_est") >= threshold)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -327,36 +333,41 @@ def simhash64(docs: DataFrame) -> DataFrame:
     """60-bit SimHash over whitespace tokens, fully native: per bit position,
     sign-sum of token-hash bits. Token hash = first 15 hex chars of md5
     (portable across engines — the driver oracle recomputes the identical
-    simhash in DuckDB; xxhash64 would be Spark-only)."""
-    toks = F.array_distinct(_tokens(F.col("text")))
-    hashes = F.transform(
-        toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
-    )
+    simhash in DuckDB; xxhash64 would be Spark-only).
+
+    Shape: explode distinct tokens → one groupBy(doc_id) with 60 conditional
+    sums — the same partial-aggregating plan as minhash_signatures, for the
+    same reason: the earlier nested transform/zip_with/aggregate chain over
+    60-element arrays falls out of whole-stage codegen (measured 11.6 s vs
+    ~2 s for this shape at 50k docs). The 60 sums combine map-side, so the
+    one shuffle carries 60 ints per doc. Null text yields a null simhash
+    (never a fake all-zeros hash that could collide), exactly as before."""
     n_bits = N_SIMHASH_BITS
-    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(n_bits)])
-    # per-token ±1 contribution vector, summed element-wise in ONE pass
-    contribs = F.transform(
-        hashes,
-        lambda h: F.transform(
-            masks,
-            lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
-        ),
+    toks = F.array_distinct(_tokens(F.col("text")))
+    ex = docs.select("doc_id", F.col("text").isNull().alias("_nulltext"),
+                     F.explode_outer(toks).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    sums = ex.groupBy("doc_id").agg(
+        F.max("_nulltext").alias("_nulltext"),
+        *[
+            F.sum(
+                F.when(h.bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1)
+                .otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(n_bits)
+        ],
     )
-    sums = F.aggregate(
-        contribs,
-        F.array_repeat(F.lit(0), n_bits),
-        lambda acc, c: F.zip_with(acc, c, lambda a, x: a + x),
+    sim = F.lit(0).cast("long")
+    for i in range(n_bits):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select(
+        "doc_id",
+        F.when(F.col("_nulltext"), F.lit(None).cast("long"))
+        .otherwise(sim).alias("simhash"),
     )
-    sim = F.aggregate(
-        F.zip_with(sums, masks, lambda s, m: F.struct(s.alias("s"),
-                                                      m.alias("m"))),
-        F.lit(0).cast("long"),
-        lambda acc, e: acc.bitwiseOR(
-            F.when(e["s"] > 0, e["m"]).otherwise(F.lit(0).cast("long"))
-        ),
-    )
-    return docs.select("doc_id", sim.alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str,
@@ -366,7 +377,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
     wider hamming budgets accepted for recall), verified by exact popcount.
     md5 hash family ⇒ the exact pair set is oracle-checked in DuckDB
     (ORACLE_SIMHASH)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     sh = simhash64(docs)
     chunks = F.array(
         *[
@@ -385,25 +396,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # Two join-shape changes, both result-preserving (the pair set and each
+    # pair's hamming are pure functions of the two simhashes):
+    #
+    # 1. The hamming predicate lives INSIDE the join condition. 15-bit chunk
+    #    values collide heavily on templated corpora (measured at 50k docs:
+    #    one (chunk,val) bucket of 15,678 docs, 294M intra-bucket pairs) —
+    #    the old shape materialized every candidate with both 8-byte hashes
+    #    and shuffled them through dropDuplicates before filtering (590 s at
+    #    50k docs). With the predicate in the join, the d² comparisons happen
+    #    inside the SMJ's codegen'd condition and only true near-dup pairs
+    #    ever leave the join.
+    # 2. Minimal-shared-chunk emission replaces dropDuplicates: a pair that
+    #    shares k chunks would surface k times; instead of deduplicating
+    #    ~10⁸ surviving rows through another exchange + hash aggregate, the
+    #    join condition additionally requires every chunk BELOW the current
+    #    one to differ (bits [15i, 15i+15) of the xor non-zero), so each
+    #    pair is emitted exactly once — at its lowest shared chunk — and the
+    #    post-join dedup disappears from the plan.
+    xor_ab = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming_ab = F.bit_count(xor_ab)
+    min_chunk = F.lit(True)
+    for i in range(3):
+        earlier_differs = (
+            F.shiftright(xor_ab, i * 15).bitwiseAND(F.lit(0x7FFF)) != 0
+        )
+        min_chunk = min_chunk & ((F.col("a.chunk") <= i) | earlier_differs)
+    return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (hamming_ab <= max_hamming)
+            & min_chunk,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
+            hamming_ab.alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -508,33 +540,41 @@ def text_decontaminate(spark: SparkSession, sf_dir: str,
     Output: every non-benchmark doc with the number of benchmark shingles it
     shares, its own shingle count, the contamination ratio, and the drop
     flag."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     is_bench = F.col("doc_id") % bench_mod == 0
-    sh = docs.select(
-        "doc_id", is_bench.alias("is_bench"),
-        F.explode(_word_shingles(F.col("text"), n)).alias("shingle"),
-    )
+    # bench shingles from the (tiny) benchmark slice only — the filter sits
+    # below the explode so the big training side is not shingled here
     bench_sh = (
-        sh.filter("is_bench").select("shingle").distinct()
+        docs.filter(is_bench)
+        .select(F.explode(_word_shingles(F.col("text"), n)).alias("shingle"))
+        .distinct()
     )
-    train_sh = sh.filter(~F.col("is_bench"))
-    hits = (
-        train_sh.join(F.broadcast(bench_sh), "shingle")
+    # ONE pass over the training side: left-join the broadcast benchmark
+    # shingle set with a hit marker and take both counts from the same
+    # groupBy — the old shape ran the scan+explode subtree twice (once for
+    # hits, once for sizes) and then joined the two aggregates (guide §1.2:
+    # don't compute things twice; measured ~2× on this query at 50k docs).
+    marked = F.broadcast(bench_sh.withColumn("_hit", F.lit(1)))
+    train_sh = (
+        docs.filter(~is_bench)
+        .select("doc_id",
+                F.explode(_word_shingles(F.col("text"), n)).alias("shingle"))
+    )
+    agg = (
+        train_sh.join(marked, "shingle", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
-    sizes = train_sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"))
-    return (
-        sizes.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            "n_shingles",
-            F.round(F.coalesce("n_contaminated", F.lit(0))
-                    / F.col("n_shingles"), 6).alias("contamination_ratio"),
-            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
         )
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_contaminated"),
+        "n_shingles",
+        F.round(F.col("n_contaminated") / F.col("n_shingles"), 6)
+        .alias("contamination_ratio"),
+        (F.col("n_contaminated") > 0).alias("contaminated"),
     )
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..scan import read_parquet_parallel
 from pyspark.sql.window import Window
 
 SEQ_LEN = 512        # tokens per training sequence
@@ -45,7 +47,7 @@ def seq_pack(spark: SparkSession, sf_dir: str,
     knob that scales with corpus size (packing within a shard is inherently
     sequential; shards are the parallelism unit, like writer tasks). The
     payload through the shuffle is (doc_id, n_tokens), never the text."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     n_tokens = F.size(F.split(F.col("text"), r"\s+"))
     sized = docs.select(
         "doc_id",
@@ -111,7 +113,7 @@ def corpus_mixture(spark: SparkSession, sf_dir: str,
     prefix table. The cross-group sum of per-group sqrt terms goes through
     DECIMAL(38,6) to stay order-independent — the same trick the
     sessionizer uses for its float sums."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     n_tokens = F.size(F.split(F.col("text"), r"\s+"))
     grouped = (
         docs.select("lang", "source", n_tokens.alias("t"))

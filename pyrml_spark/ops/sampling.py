@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scan import read_parquet_parallel
+
 # per-language keep-rate in percent; strata absent from the map fall back
 # to DEFAULT_RATE (the corpus langs are en/es/de/fr/zh — zh exercises the
 # fallback on purpose)
@@ -41,7 +43,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate is a CASE over the stratum column — no shuffle, no broadcast, no
     RNG. At 100 TB this runs at scan speed and prunes rows before anything
     downstream sees them."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     bucket = _hash_bucket(F.col("doc_id"))
     rate = F.lit(DEFAULT_RATE)
     for lang, pct in sorted(SAMPLE_RATES.items()):
@@ -103,7 +105,7 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``explode`` drops (the downsampled docs). At 100 TB the op streams at
     scan speed and emits copies tagged ``epoch_ix`` for the writer to
     route."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     bucket = _frac_bucket(F.col("doc_id"))
 
     def _repeats_for(w: float) -> F.Column:

@@ -8,12 +8,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..scan import read_parquet_parallel
+
 GAP_MINUTES = 30
 
 
 def events_sessionize(spark: SparkSession, sf_dir: str,
                       gap_minutes: int = GAP_MINUTES) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet_parallel(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.when(
         (F.unix_timestamp("ts")

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..scan import read_parquet_parallel
+
 N_QUERIES = 8       # vec_id < N_QUERIES are the query vectors
 TOP_K = 5
 SIM_DECIMALS = 6
@@ -44,7 +46,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str,
 
     The query side is broadcast (tiny); ranking is a per-query window.
     Deterministic tie-break on neighbor_id."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_parallel(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -176,14 +178,14 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str,
     def _blocked(n_blocks: int) -> DataFrame:
         # fresh scan per side: the cogroup's two inputs must not share a
         # dataset lineage or Spark's ambiguous-self-join check rejects the plan
-        return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        return read_parquet_parallel(spark, f"{sf_dir}/embeddings.parquet").select(
             F.col("vec_id"),
             F.col("embedding").cast("array<double>").alias("embedding"),
             F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
             .alias("blk"),
         )
 
-    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    n = read_parquet_parallel(spark, f"{sf_dir}/embeddings.parquet").count()
     n_blocks = max(1, -(-n // block_rows))
     pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
     left = (
@@ -288,7 +290,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str,
     hyperplanes are constants, inlined into the SQL below — both engines
     evaluate the dot product as a sequential float64 fold, so the sign bits
     agree exactly (verified bit-for-bit at sf0.001/0.01/0.1)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_parallel(spark, f"{sf_dir}/embeddings.parquet")
     return emb.select(
         "vec_id",
         _signature_bits(F.col("embedding"), dim, HYPERPLANES).alias("bucket"),
@@ -445,7 +447,7 @@ def planted_neardup_corpus(emb: DataFrame) -> DataFrame:
 
 
 def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_parallel(spark, f"{sf_dir}/embeddings.parquet")
     return lsh_cosine_neardup(planted_neardup_corpus(emb))
 
 
@@ -518,7 +520,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str,
     * ranking reuses the bounded two-phase top-k (no single-window
       bottleneck stage).
     """
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_parallel(spark, f"{sf_dir}/embeddings.parquet")
     cents = (
         emb.filter((F.col("vec_id") >= IVF_CENTROID_BASE)
                    & (F.col("vec_id") < IVF_CENTROID_BASE + n_centroids))

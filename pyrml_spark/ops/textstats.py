@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scan import read_parquet_parallel
+
 # tiny deterministic stopword lists per language (heuristic lang-id)
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
@@ -33,7 +35,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language guess with deterministic tie-break order
     en > es > de > fr (the synthetic corpus is English-ish word soup — the
     heuristic is the operator under test, not a model)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     hit_cols = {lang: _hits(lang) for lang in STOPWORDS}
     best = F.lit("und")
     best_hits = F.lit(0)
@@ -80,7 +82,7 @@ FROM h
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + bucket."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     n_chars = F.length("text")
     toks = F.split(F.col("text"), r"\s+")
     n_tokens = F.size(toks)
@@ -129,7 +131,7 @@ FROM f
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens (letters runs / digit runs /
     single punctuation — the standard pre-tokenizer shape)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     ws = F.size(F.split(F.col("text"), r"\s+"))
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(f"({BPE_ISH_RE})"), 1))
     return docs.select(
@@ -157,7 +159,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     out of one run-length pass with `F.aggregate` — the longest run of a
     sorted array IS the top frequency, and (n − runs) IS the duplicate
     count. A pure narrow map: 100 TB of documents never shuffles a byte."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     toks = F.split(F.col("text"), r"\s+")
     n = F.size(toks)
     grams = F.zip_with(
@@ -237,7 +239,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprint: md5 over the normalized text
     (lowercase, collapsed whitespace) + a 16-bit shard bucket — the
     partition-routing key a 100 TB dedup/shard pipeline would use."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     fp = F.md5(norm)
     bucket = F.conv(F.substring(fp, 1, 4), 16, 10).cast("int")
@@ -322,7 +324,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     is email → IPv4 → phone; the patterns are mutually non-overlapping on
     the placeholder text they leave behind."""
     docs = _with_synthetic_pii(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        read_parquet_parallel(spark, f"{sf_dir}/documents.parquet"))
     t = F.col("text")
     counts = pii_counts(t)
     return docs.select(
@@ -407,7 +409,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-bag-of-tokens linear quality score: bucket = md5(token) mod
     QC_BUCKETS, logit = sum(weight[bucket]) / (n_tokens * 1000), keep when
     the logit clears QC_THRESHOLD."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
     n, sum_w = qc_features(F.col("text"))
     staged = docs.select(
         "doc_id", n.alias("n_tokens"), sum_w.alias("weight_milli_sum"))

@@ -17,6 +17,17 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def key_exchanges(plan: str) -> int:
+    """Exchanges that move rows BY KEY (hash/range) — the scale-relevant
+    count. The round-robin scan rebalance from scan.read_parquet_parallel
+    is excluded: it only exists when a benchmark-sized input yields fewer
+    splits than cores (at corpus scale the gate `partitions <
+    defaultParallelism` is never true, so it is absent from the plan) and
+    it carries the scan's own bytes exactly once, before any operator."""
+    return len(re.findall(r"\bExchange\b", plan)) \
+        - len(re.findall(r"Exchange RoundRobinPartitioning", plan))
+
+
 def formatted(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
@@ -173,7 +184,7 @@ def test_pii_and_sampling_are_shuffle_free_narrow_maps(spark):
 
     for q in (text_pii_redact, sample_stratified, text_quality_classifier):
         plan = plan_of(q(spark, SF_DIR))
-        assert "Exchange" not in plan, plan
+        assert key_exchanges(plan) == 0, plan
         assert "EvalPython" not in plan, plan
 
 
@@ -193,7 +204,7 @@ def test_mixture_resample_is_shuffle_free(spark):
     from pyrml_spark.ops.sampling import mixture_resample
 
     plan = plan_of(mixture_resample(spark, SF_DIR))
-    assert "Exchange" not in plan, plan
+    assert key_exchanges(plan) == 0, plan
     assert "EvalPython" not in plan, plan
 
 
@@ -208,7 +219,7 @@ def test_seq_pack_single_shard_exchange(spark):
     plan = plan_of(seq_pack(spark, SF_DIR))
     exchanges = _re.findall(r"Exchange hashpartitioning\(shard", plan)
     assert len(exchanges) == 1, plan
-    assert len(_re.findall(r"\bExchange\b", plan)) == 1, plan
+    assert key_exchanges(plan) == 1, plan
     assert "EvalPython" not in plan, plan
 
 
@@ -261,7 +272,7 @@ def test_dedup_url_aggregation_is_partial_and_narrow(spark):
 
     plan = plan_of(dedup_url(spark, SF_DIR))
     assert len(_re.findall(r"HashAggregate", plan)) >= 2, plan
-    assert plan.count("Exchange") == 1, plan
+    assert key_exchanges(plan) == 1, plan
     assert "EvalPython" not in plan, plan
 
 
