@@ -49,9 +49,9 @@ def _local_input_bytes(path: str) -> int | None:
     return None
 
 
-def read_parquet_parallel(spark: SparkSession, path: str) -> DataFrame:
-    """``spark.read.parquet`` with a floor on scan parallelism."""
-    df = spark.read.parquet(path)
+def parallelize_scan(spark: SparkSession, df: DataFrame,
+                     path: str) -> DataFrame:
+    """Floor an already-built scan's parallelism (see module docstring)."""
     try:
         target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:  # noqa: BLE001 — parallelism floor is best-effort
@@ -65,3 +65,8 @@ def read_parquet_parallel(spark: SparkSession, path: str) -> DataFrame:
     if est_splits < target:
         df = df.repartition(target)
     return df
+
+
+def read_parquet_parallel(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with a floor on scan parallelism."""
+    return parallelize_scan(spark, spark.read.parquet(path), path)

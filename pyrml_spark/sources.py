@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .model import LogicalSource
+from .scan import parallelize_scan, read_parquet_parallel
 
 
 class SourceError(ValueError):
@@ -911,7 +912,9 @@ class SourceLoader:
             )
             if ls.encoding:
                 reader = reader.option("encoding", ls.encoding)
-            return reader.csv(path)
+            # benchmark-scale single files scan as ONE partition, starving
+            # the whole term-map pipeline of parallelism (pyrml_spark.scan)
+            return parallelize_scan(spark, reader.csv(path), path)
         if ls.kind == "json":
             path = _find_file(ls.source, self.search_roots)
             return load_json_source(spark, path, ls.iterator)
@@ -920,7 +923,7 @@ class SourceLoader:
             return load_xml_source(spark, path, ls.iterator)
         if ls.kind == "parquet":
             path = _find_file(ls.source, self.search_roots)
-            return spark.read.parquet(path)
+            return read_parquet_parallel(spark, path)
         if ls.kind == "table":
             return spark.read.table(ls.source)
         if ls.kind == "sql":
