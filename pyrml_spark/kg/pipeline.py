@@ -140,8 +140,29 @@ def run_pipeline(
                        lambda: sameas_candidates(mentions))
 
     mapping_fp = fingerprint("mapping", edges_fp, config.cc_max_iter)
+    # the edges stage just ran (or resumed), so its row count is already in
+    # the manifest — the same scale gate as run_pipeline_fused costs no job
+    edge_rows = runner.stage_rows("sameas_edges", edges_fp)
 
     def build_mapping() -> DataFrame:
+        if edge_rows is not None and edge_rows <= DRIVER_UNION_FIND_MAX_EDGES:
+            # small edge set: the distributed min-label loop pays several
+            # job round-trips per iteration (~3-4 s at bench scale) which
+            # dominate when the edges fit in driver memory; driver
+            # union-find produces the identical (entity, canonical) table
+            # (same lexicographic-min labels — the fused path's shortcut,
+            # equality pinned by tests). Arrow both ways, as in fused mode.
+            import pandas as pd
+
+            epdf = edges.toPandas()
+            pairs = _driver_union_find(
+                zip(epdf["src"].tolist(), epdf["dst"].tolist()))
+            runner.record_event(
+                "cc_driver_union_find",
+                {"edges": int(edge_rows), "labels": len(pairs)})
+            return spark.createDataFrame(
+                pd.DataFrame(pairs, columns=["entity", "canonical"]),
+                schema="entity string, canonical string")
         return canonical_mapping(
             edges,
             max_iter=config.cc_max_iter,

@@ -123,6 +123,34 @@ def url_encode(col: Column) -> Column:
     return enc
 
 
+# Source-column Spark types whose CAST-to-string renders entirely within
+# quote(safe='')'s unreserved set ([0-9A-Za-z.\-], and 'E' in float/double
+# scientific notation; DATE renders as yyyy-MM-dd): percent-encoding is an
+# identity on such values, so the whole UrlCodec.encode + 3-replace chain
+# can be skipped at COMPILE time. Timestamps are excluded (space + ':'),
+# strings obviously too.
+_ENC_SAFE_TYPES = {"tinyint", "smallint", "int", "bigint",
+                   "float", "double", "date"}
+
+
+def _source_dtype(ctx: "CompileCtx", name: str) -> Optional[str]:
+    """Spark simple type of a resolved source column (None if unknown)."""
+    if not ctx.dtypes:
+        return None
+    resolved = resolve_column(ctx.columns, ctx.column_prefix + name)
+    if resolved is None and ctx.column_prefix:
+        resolved = resolve_column(ctx.columns, name)
+    if resolved is None:
+        return None
+    return (ctx.dtypes.get(resolved) or "").lower()
+
+
+def _encoding_is_identity(ctx: "CompileCtx", name: str) -> bool:
+    dt = _source_dtype(ctx, name)
+    return dt is not None and (dt in _ENC_SAFE_TYPES
+                               or dt.startswith("decimal"))
+
+
 def escape_angle(col: Column) -> Column:
     """Always-on part of TermUtils.irify (pyrml_api.py:535-537)."""
     return F.replace(F.replace(col, F.lit("<"), F.lit("%3C")),
@@ -572,7 +600,12 @@ def _plain_template_parts(ctx: CompileCtx, text: str,
         else:
             name = m.group(1).strip()
             val = source_col(ctx, name)
-            parts.append(url_encode(val) if iri_mode else val)
+            # numeric/date placeholders render within the unreserved set —
+            # percent-encoding is an identity, skip its 4-expression chain
+            # (the dominant per-row cost of IRI templates at bench scale)
+            if iri_mode and not _encoding_is_identity(ctx, name):
+                val = url_encode(val)
+            parts.append(val)
         pos = m.end()
     if pos < len(text):
         parts.append(F.lit(text[pos:]))
@@ -674,6 +707,37 @@ def infer_datatype_for(ctx: CompileCtx, tm: TermMap) -> Optional[str]:
     return (XSD + local) if local else None
 
 
+def _template_is_safe_absolute_iri(ctx: CompileCtx, tm: "TermMap") -> bool:
+    """Compile-time proof that an IRI template ALWAYS renders a valid
+    absolute IRI: every placeholder is a numeric/date column (rendering
+    within ``[0-9A-Za-z.\\-E]`` — no whitespace, quotes, angle brackets or
+    other excluded characters) and the static text, with placeholders
+    substituted, full-matches IRI_VALID_RE. Then ``escape_angle`` (no
+    ``<``/``>`` present), the RLIKE validity filter (always true) and base
+    resolution (template is absolute) are identities and the whole
+    validation chain can be dropped from the row path — it otherwise runs
+    per row, twice (the null-elimination filter re-evaluates the term
+    below the projection)."""
+    if tm.kind != "template" or not tm.template:
+        return False
+    from .template_expr import EVAL_RE
+
+    if EVAL_RE.search(tm.template):
+        return False
+    pos = 0
+    skeleton: List[str] = []
+    for m in _TMPL_TOKEN.finditer(tm.template):
+        skeleton.append(tm.template[pos:m.start()])
+        if m.group(0) in ("\\{", "\\}"):
+            return False
+        if not _encoding_is_identity(ctx, m.group(1).strip()):
+            return False
+        skeleton.append("0")
+        pos = m.end()
+    skeleton.append(tm.template[pos:])
+    return re.fullmatch(IRI_VALID_RE.strip("^$"), "".join(skeleton)) is not None
+
+
 def render_value(ctx: CompileCtx, tm: TermMap, raw: Column) -> Column:
     """Raw value column → N-Triples lexical form column (NULL-preserving)."""
     if tm.kind == "constant":
@@ -681,6 +745,10 @@ def render_value(ctx: CompileCtx, tm: TermMap, raw: Column) -> Column:
         return F.lit(R.to_nt(tm.constant)) if raw is not None else F.lit(None)
 
     if tm.term_type == "iri":
+        if not ctx.irify and _template_is_safe_absolute_iri(ctx, tm):
+            return F.when(raw.isNull(), F.lit(None)).otherwise(
+                F.concat(F.lit("<"), raw, F.lit(">"))
+            )
         val = irify_full(raw) if ctx.irify else escape_angle(raw)
         if ctx.base_iri:
             # relative IRI → base + iri (pyrml_mapper.py:164-194)
