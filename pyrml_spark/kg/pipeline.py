@@ -224,35 +224,12 @@ def run_pipeline(
 # fused mode: one Spark job end-to-end (throughput path)
 # ---------------------------------------------------------------------------
 
-DRIVER_UNION_FIND_MAX_EDGES = 5_000_000
-
-
-def _driver_union_find(edges_rows) -> list:
-    """Union-find on the driver for small edge sets (scale-aware shortcut:
-    the distributed min-label loop pays several job round-trips per
-    iteration, which dominates when the edge list fits in driver memory —
-    the canonical label is still the component's lexicographic min)."""
-    parent: dict = {}
-
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
-
-    nodes = set()
-    for src, dst in edges_rows:
-        nodes.add(src)
-        nodes.add(dst)
-        ra, rb = find(src), find(dst)
-        if ra != rb:
-            # keep the lexicographic min as the root (matches the
-            # distributed algorithm's labels)
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    return [(n, find(n)) for n in sorted(nodes)]
+# shared with canonicalize.py (moved there r9 so dedup's CC can reuse the
+# same crossover); re-exported here for existing importers
+from .canonicalize import (  # noqa: E402
+    DRIVER_UNION_FIND_MAX_EDGES,
+    _driver_union_find,
+)
 
 
 def run_pipeline_fused(

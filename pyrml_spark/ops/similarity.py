@@ -372,11 +372,10 @@ def lsh_cosine_neardup(emb: DataFrame,
                 "sig": sigs.reshape(-1),
             })
 
-    # persist: `banded` feeds both sides of the candidate self-join and
-    # `withnorm` joins twice into the verify — without a persist each
-    # consumer re-runs the signature matmul / norm fold (ReusedExchange only
-    # sometimes saves the self-join). MEMORY_AND_DISK so big corpora spill
-    # instead of OOM; entries are LRU-evicted, callers may clearCache().
+    # persist: `banded` feeds both sides of the candidate self-join —
+    # without a persist each side re-runs the signature matmul
+    # (ReusedExchange only sometimes saves the self-join). MEMORY_AND_DISK
+    # so big corpora spill instead of OOM; callers may clearCache().
     from pyspark import StorageLevel
 
     banded = (
@@ -385,20 +384,73 @@ def lsh_cosine_neardup(emb: DataFrame,
     )
     a = banded.alias("a")
     b = banded.alias("b")
+    # candidates keep multi-band duplicates: deduplicating 10⁶-10⁷ candidate
+    # rows through an exchange cost more than scoring the ~4% duplicates
+    # twice in the prune below — dropDuplicates moves AFTER the prune, onto
+    # the (tiny) survivor set (guide §2.4: remove shuffles outright).
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.sig") == F.col("b.sig"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"))
+    )
+    # Two-stage verify (r9, guide §4.2): the exact per-pair JVM fold
+    # (F.aggregate — interpreted, outside codegen) dominated the whole
+    # operator at ~1 µs × |candidates|. Stage 1 PRUNES with one vectorized
+    # numpy pass per Arrow batch: attach both embeddings via broadcast
+    # joins, score sim vectorized, keep pairs within the margin of the
+    # threshold. The float32 cast + einsum reordering bound the score error
+    # at ~4e-6 relative (n·eps32 for a 64-dim normalized dot); the margin
+    # is ~250× wider, so the prune can never drop a pair the exact float64
+    # filter would keep. Stage 2 re-scores the surviving pairs
+    # (≈ the true near-dup set) with the SAME sequential JVM fold as
+    # before, so every emitted sim is bit-identical to the oracle's.
+    # the attach joins broadcast the embedding side only when it is provably
+    # small (one bounded probe shared by both sides); above the ceiling they
+    # degrade to shuffle joins with AQE — the 100 TB-safe behavior
+    from ..plans.tuning import BROADCAST_MAX_ROWS, maybe_broadcast
+
+    # float32 copies for the prune: halves the Arrow bytes per candidate
+    # row. float32 round-off on a 64-dim cosine is bounded well under 1e-5;
+    # the prune margin is 100× wider, so no pair the exact float64 filter
+    # would keep can be pruned.
+    n_emb_hint = emb.limit(BROADCAST_MAX_ROWS + 1).count()
+    eat = maybe_broadcast(
+        emb.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").cast("array<float>").alias("e_a")),
+        row_hint=n_emb_hint)
+    ebt = maybe_broadcast(
+        emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").cast("array<float>").alias("e_b")),
+        row_hint=n_emb_hint)
+    prune_margin = 1e-3
+
+    def prune(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                    "vec_b": pd.Series(dtype="int64")})
+                continue
+            A = np.stack(pdf["e_a"].to_numpy())
+            B = np.stack(pdf["e_b"].to_numpy())
+            s = np.einsum("ij,ij->i", A, B) / (
+                np.sqrt(np.einsum("ij,ij->i", A, A))
+                * np.sqrt(np.einsum("ij,ij->i", B, B)))
+            keep = s >= threshold - prune_margin
+            yield pd.DataFrame({"vec_a": pdf["vec_a"].to_numpy()[keep],
+                                "vec_b": pdf["vec_b"].to_numpy()[keep]})
+
+    survivors = (
+        cand.join(eat, "vec_a")
+        .join(ebt, "vec_b")
+        .mapInPandas(prune, "vec_a long, vec_b long")
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    # verify: norms computed ONCE per vector (n rows), a single fold per
-    # candidate pair — not dot+2 norms per pair (3× interpreted higher-order
-    # work on every candidate)
+    # exact verify on the survivor set only: norms folded once per side,
+    # the same sequential float64 fold order as the DuckDB oracle
     withnorm = emb.select("vec_id", "embedding",
-                          _norm(F.col("embedding")).alias("nrm")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+                          _norm(F.col("embedding")).alias("nrm"))
     ea = withnorm.select(F.col("vec_id").alias("vec_a"),
                          F.col("embedding").alias("e_a"),
                          F.col("nrm").alias("n_a"))
@@ -407,7 +459,8 @@ def lsh_cosine_neardup(emb: DataFrame,
                          F.col("nrm").alias("n_b"))
     sim_raw = _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
     return (
-        cand.join(ea, "vec_a").join(eb, "vec_b")
+        survivors.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select("vec_a", "vec_b",
                 F.round(sim_raw, SIM_DECIMALS).alias("sim"))
         .filter(F.col("sim") >= threshold)

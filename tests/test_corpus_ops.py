@@ -91,3 +91,30 @@ def test_boilerplate_removed_only_from_hot_chunks(spark):
     for did in clean_ids[:20]:
         assert out[did].clean_text == docs[did]
     assert BOILERPLATE_MIN_DOCS <= len(docs) // 3
+
+
+def test_ngram_jaccard_size_filter_keeps_boundary_pair(spark, tmp_path):
+    """The join-side size-compatibility predicate (min >= t*max - eps) must
+    not drop a pair sitting exactly on the boundary: two docs with 4 and 5
+    shingles sharing all 4 (J = 4/5 = 0.8 exactly at threshold 0.8)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyrml_spark.ops.dedup import dedup_ngram_jaccard
+
+    base = "alpha beta gamma delta epsilon zeta"          # 4 shingles
+    longer = base + " eta"                                # 5 shingles
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": [base, longer],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": pa.array([len(base), len(longer)], pa.int64()),
+        }),
+        str(d / "documents.parquet"))
+    out = dedup_ngram_jaccard(spark, str(d), threshold=0.8).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out] == \
+        [(1, 2, 0.8)]

@@ -240,3 +240,21 @@ def test_external_documents_get_distinct_fingerprints(spark, tmp_path):
                         input_tag="t2")
     n2 = out2.count()
     assert n1 != n2  # t2 did NOT resume from t1's checkpoints
+
+
+def test_connected_components_auto_matches_distributed(spark):
+    """The driver union-find crossover must produce the identical
+    (node, component) table as the distributed min-label loop — on a
+    chain (worst-case diameter), a star, and singleton self-loops."""
+    from pyrml_spark.kg.canonicalize import connected_components_auto
+
+    rows = ([(f"n{i+1:03d}", f"n{i:03d}") for i in range(40)]
+            + [("hub", f"s{i}") for i in range(10)]
+            + [("z", "z")])
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    via_driver = {tuple(r) for r in connected_components_auto(edges).collect()}
+    via_dist = {tuple(r)
+                for r in connected_components_auto(
+                    edges, max_driver_edges=0).collect()}
+    assert via_driver == via_dist
+    assert len(via_driver) == 53  # 41 chain + 11 star + 1 singleton
