@@ -75,7 +75,13 @@ def kg_bgp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     document."""
     from .entry import kg_pipeline_fused_triples  # lazy: avoid cycle
 
-    t = kg_pipeline_fused_triples(spark, sf_dir).select("s", "p", "o")
+    # lazy localCheckpoint (r9): the BGP compiles to one scan of `t` PER
+    # PATTERN — without the cut each of the three scans re-derives the
+    # whole construction pipeline (datagen → extraction → assembly);
+    # checkpointed, the pipeline materializes once and the pattern scans
+    # read its partitions (guide §1.2: don't compute things three times)
+    t = (kg_pipeline_fused_triples(spark, sf_dir).select("s", "p", "o")
+         .localCheckpoint(eager=False))
     return _bgp_over(t)
 
 
@@ -422,13 +428,19 @@ def _co_mention_edges(spark: SparkSession) -> DataFrame:
     """Distinct symmetric (src, dst) edges between canonical entities
     co-mentioned in the same document (persons resolved through the
     sameAs canonical mapping, places by surface)."""
-    from .canonicalize import canonical_mapping
+    from .canonicalize import connected_components_auto
     from .entry import _docs  # lazy: avoid cycle
     from .extract import mentions_native, sameas_candidates
 
     docs = _docs(spark)
     mentions = mentions_native(docs)
-    mapping = canonical_mapping(sameas_candidates(mentions))
+    # auto crossover (r9): the alias edge set is tiny relative to the
+    # corpus, so the mapping solves on the driver below the gate instead
+    # of paying the iterative loop's per-round job latency; identical
+    # labels either way (equality pinned by tests)
+    cc = connected_components_auto(sameas_candidates(mentions))
+    mapping = cc.select(F.col("node").alias("entity"),
+                        F.col("component").alias("canonical"))
     ents = (
         mentions.join(
             mapping,

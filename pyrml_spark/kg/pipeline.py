@@ -196,6 +196,12 @@ def run_pipeline(
         # (event-log measured); the range sampler balances row counts while
         # keeping each task inside one bucket (a boundary task may straddle
         # two → at most one extra file per boundary).
+        #
+        # lazy localCheckpoint first (r9): repartitionByRange SAMPLES its
+        # child to pick range bounds, which executed the whole assembly
+        # subtree a second time before the write — checkpointed, the
+        # sampler and the write share one materialization (guide §1.2)
+        out = out.localCheckpoint(eager=False)
         out = out.repartitionByRange(
             config.output_partitions or config.n_subject_buckets,
             "subject_bucket", "s",
@@ -298,7 +304,10 @@ def run_pipeline_fused(
         F.pmod(F.xxhash64("s"), F.lit(config.n_subject_buckets)).cast("int"),
     )
     if config.final_repartition:
-        # range-partitioned for balanced writer tasks (see run_pipeline)
+        # range-partitioned for balanced writer tasks (see run_pipeline);
+        # lazy checkpoint so the range sampler and the write share one
+        # materialization of the assembly
+        out = out.localCheckpoint(eager=False)
         out = out.repartitionByRange(
             config.output_partitions or config.n_subject_buckets,
             "subject_bucket", "s")

@@ -818,8 +818,17 @@ class _Parser:
             for agg in self._having_aggs:
                 if (agg.fn, agg.var, agg.distinct) == key:
                     return _col(agg.alias)
+            # `_h<n>` is a valid SPARQL variable name: skip over any the
+            # query itself binds, or the aggregated frame would carry two
+            # columns of that name (ambiguous-reference at execution —
+            # ADVICE r8)
+            taken = set(self.vars_seen) | {a.alias
+                                           for a in self._having_aggs}
+            n = len(self._having_aggs)
+            while f"_h{n}" in taken:
+                n += 1
             agg = Aggregate(fn=name, var=var, distinct=agg_distinct,
-                            alias=f"_h{len(self._having_aggs)}")
+                            alias=f"_h{n}")
             self._having_aggs.append(agg)
             return _col(agg.alias)
         self._reject_unsupported(t)
@@ -1007,7 +1016,15 @@ class _Parser:
         if opt_only and pq.binds:
             kept = []
             for alias, kind, sql in pq.binds:
-                if _refs_any(sql, opt_only | deferred_aliases):
+                # a var-kind BIND stores the BARE variable name (no
+                # backticks), so _refs_any's backticked-column search
+                # would never see it — match the name directly (ADVICE
+                # r8: BIND(?a AS ?y) with ?a OPTIONAL-only must defer)
+                if kind == self._VAR:
+                    refs_opt = sql in opt_only or sql in deferred_aliases
+                else:
+                    refs_opt = _refs_any(sql, opt_only | deferred_aliases)
+                if refs_opt:
                     pq.optional_binds.append((alias, kind, sql))
                     deferred_aliases.add(alias)
                 else:
@@ -1338,7 +1355,18 @@ class _Parser:
                 "SELECT * in a subquery is outside the supported subset "
                 "(project the join variables explicitly — the outer "
                 "join key set must be deterministic at parse time)")
+        pending_aliases = {a for a, _, _ in self._pending_binds}
         for v in _subquery_proj(sub):
+            # a projection colliding with an earlier BIND alias would
+            # execute as the subquery join followed by a withColumn that
+            # silently OVERWRITES the subquery's column (ADVICE r8) —
+            # loud instead, like the reverse order's "BIND rebinds".
+            # Collision with pattern variables stays allowed: that is
+            # the join key.
+            if v in pending_aliases:
+                raise SPARQLError(
+                    f"subquery projects ?{v}, already bound by BIND in "
+                    "the enclosing group (SPARQL forbids rebinding)")
             if v not in self.vars_seen:
                 self.vars_seen.append(v)
         return sub

@@ -1475,3 +1475,52 @@ def test_exec_strdt_strlang(triples):
     with pytest.raises(SPARQLError, match="language tag"):
         parse_select('SELECT ?v WHERE { ?s <http://e/p> ?n '
                      'BIND(STRLANG(STR(?n), "9x!") AS ?v) }')
+
+
+# ----------------------------------- r9: advisor regression fixes
+
+
+def test_bind_of_bare_optional_var_defers(triples):
+    """BIND(?a AS ?y) where ?a is OPTIONAL-only must defer past the left
+    join (the var-kind fragment stores the bare name, which the
+    backtick-matching deferral check used to miss — it raised
+    UNRESOLVED_COLUMN instead of the documented defer)."""
+    pq = parse_select(
+        PFX + "SELECT ?s ?y WHERE { ?s a e:Person "
+        "OPTIONAL { ?s e:age ?a } BIND(?a AS ?y) }")
+    assert [b[0] for b in pq.optional_binds] == ["y"]
+    assert pq.binds == []
+    out = sparql_select(
+        triples, PFX + "SELECT ?s ?y WHERE { ?s a e:Person "
+        "OPTIONAL { ?s e:age ?a } BIND(?a AS ?y) }")
+    rows = dict(_rows(out))
+    assert rows["<http://e/alice>"] == \
+        '"31"^^<http://www.w3.org/2001/XMLSchema#integer>'
+
+
+def test_bind_of_bare_deferred_alias_chains(triples):
+    """BIND(?y AS ?z) where ?y itself deferred must also defer."""
+    pq = parse_select(
+        PFX + "SELECT ?s ?z WHERE { ?s a e:Person "
+        "OPTIONAL { ?s e:age ?a } BIND(?a AS ?y) BIND(?y AS ?z) }")
+    assert [b[0] for b in pq.optional_binds] == ["y", "z"]
+
+
+def test_subquery_projection_colliding_with_bind_is_loud(triples):
+    """BIND first, subquery projecting the same name second: the silent
+    column overwrite is now the same loud rebind error as the reverse
+    order."""
+    q = (PFX + "SELECT ?s ?n WHERE { BIND(1 AS ?n) "
+         "{ SELECT ?s ?n WHERE { ?s e:name ?n } } }")
+    with pytest.raises(SPARQLError, match="rebind"):
+        parse_select(q)
+
+
+def test_having_hidden_alias_avoids_user_variable(triples):
+    """A query binding ?_h0 must not collide with HAVING's hidden
+    aggregate aliases."""
+    out = sparql_select(
+        triples,
+        PFX + "SELECT ?_h0 (COUNT(*) AS ?n) WHERE { ?s a ?_h0 } "
+        "GROUP BY ?_h0 HAVING (COUNT(?s) >= 2)")
+    assert _rows(out) == [("<http://e/Person>", 2)]
