@@ -177,10 +177,14 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str,
 
     def _blocked(n_blocks: int) -> DataFrame:
         # fresh scan per side: the cogroup's two inputs must not share a
-        # dataset lineage or Spark's ambiguous-self-join check rejects the plan
+        # dataset lineage or Spark's ambiguous-self-join check rejects the
+        # plan. The vectors travel as float32 (their storage type — every
+        # value is float32-exact, so the float64 upcast inside the UDF
+        # reproduces the double math bit-for-bit) which halves the bytes
+        # through the B-way replicated shuffle and the Arrow boundary.
         return read_parquet_parallel(spark, f"{sf_dir}/embeddings.parquet").select(
             F.col("vec_id"),
-            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.col("embedding").cast("array<float>").alias("embedding"),
             F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
             .alias("blk"),
         )
@@ -211,8 +215,8 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str,
             return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                                  "vec_b": pd.Series(dtype="int64"),
                                  "sim_raw": pd.Series(dtype="float64")})
-        A = np.stack(lpdf["embedding"].to_numpy())
-        B = np.stack(rpdf["embedding"].to_numpy())
+        A = np.stack(lpdf["embedding"].to_numpy()).astype(np.float64)
+        B = np.stack(rpdf["embedding"].to_numpy()).astype(np.float64)
         na = np.sqrt((A * A).sum(axis=1))
         nb = np.sqrt((B * B).sum(axis=1))
         sims = (A @ B.T) / np.outer(na, nb)
@@ -595,6 +599,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str,
         F.element_at(ranked_cells, 1)["cid"].alias("cluster_id"),
         F.slice(ranked_cells, 1, nprobe).alias("probe_cells"),
     )
+    # lazy localCheckpoint (r9): `assigned` feeds both the probe table and
+    # the candidate scan — without the cut each branch re-evaluates the
+    # n_centroids interpreted literal-array folds over every row (the
+    # dominant per-row cost of this operator; guide §1.2)
+    assigned = assigned.localCheckpoint(eager=False)
     probes = (
         assigned.filter(F.col("vec_id") < n_queries)
         .select(
