@@ -305,10 +305,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
             )
         ).alias("bb"),
     ).select("doc_id", "sig", "bb.band", "bb.bucket")
-    # NOT persisted (unlike ngram-jaccard's shingle table): both self-join
-    # sides are byte-identical plans over the SAME doc_id exchange, so
-    # Catalyst's ReusedExchange already computes the aggregate subtree once
-    # — a persist here only added cache-write overhead (measured).
+    # materialize the banded signatures once: with one side broadcast
+    # there is no pair of identical exchanges for ReusedExchange to dedup
+    # (the plan showed TWO full Scan→explode→SortAggregate signature
+    # subtrees), so both self-join sides re-ran the corpus-wide minhash
+    # aggregation (guide §1.2: don't compute things twice)
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     # jaccard_est is a pure function of the pair's signatures, so computing
@@ -414,6 +416,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
                        F.explode(chunks).alias("cc")).select(
         "doc_id", "simhash", "cc.chunk", "cc.val"
     )
+    # materialize the banded signatures once: the self-join broadcasts one
+    # side, so there is no exchange for ReuseExchange to dedup and BOTH
+    # sides would otherwise re-run the corpus-wide simhash aggregation
+    # (two full Scan→explode→60-sum HashAggregate subtrees in the plan;
+    # guide §1.2 "don't compute things twice" — measured ~1.5-2 s at 50k
+    # docs, and a whole corpus pass at production scale)
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     # Two join-shape changes, both result-preserving (the pair set and each

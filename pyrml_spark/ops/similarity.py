@@ -420,37 +420,83 @@ def lsh_cosine_neardup(emb: DataFrame,
     # the prune margin is 100× wider, so no pair the exact float64 filter
     # would keep can be pruned.
     n_emb_hint = emb.limit(BROADCAST_MAX_ROWS + 1).count()
-    eat = maybe_broadcast(
-        emb.select(F.col("vec_id").alias("vec_a"),
-                   F.col("embedding").cast("array<float>").alias("e_a")),
-        row_hint=n_emb_hint)
-    ebt = maybe_broadcast(
-        emb.select(F.col("vec_id").alias("vec_b"),
-                   F.col("embedding").cast("array<float>").alias("e_b")),
-        row_hint=n_emb_hint)
     prune_margin = 1e-3
 
-    def prune(batches):
-        for pdf in batches:
-            if pdf.empty:
-                yield pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                                    "vec_b": pd.Series(dtype="int64")})
-                continue
-            A = np.stack(pdf["e_a"].to_numpy())
-            B = np.stack(pdf["e_b"].to_numpy())
-            s = np.einsum("ij,ij->i", A, B) / (
-                np.sqrt(np.einsum("ij,ij->i", A, A))
-                * np.sqrt(np.einsum("ij,ij->i", B, B)))
-            keep = s >= threshold - prune_margin
-            yield pd.DataFrame({"vec_a": pdf["vec_a"].to_numpy()[keep],
-                                "vec_b": pdf["vec_b"].to_numpy()[keep]})
+    # Candidate rows are (vec_a, vec_b) — 16 bytes. Attaching both float32
+    # embeddings before the Python boundary inflates every candidate to
+    # ~0.5 KB of Arrow payload (dominant cost of the operator at 50k-doc
+    # bench scale: ~2 GB crossing for ~4M candidates). When the embedding
+    # matrix itself is small, ship IT once per task inside the prune
+    # closure instead and keep the candidate stream id-only — guide §8:
+    # move decisions over a lightweight proxy, attach payloads exactly
+    # once. Ceiling: 64M float32 elements ≈ 256 MB — the attach path under
+    # BROADCAST_MAX_ROWS holds the same bytes TWICE (one broadcast per
+    # side), so the single captured copy is strictly lighter; above the
+    # ceiling the attach-join shape (broadcast or AQE shuffle join) is the
+    # scale-safe fallback.
+    captured = None
+    if n_emb_hint * dim <= 64_000_000:
+        epdf = emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<float>").alias("e")).toPandas()
+        ids = epdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids_sorted = ids[order]
+        M = np.stack(epdf["e"].to_numpy()).astype(np.float32)[order]
+        nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+        captured = (ids_sorted, M, nrm)
 
-    survivors = (
-        cand.join(eat, "vec_a")
-        .join(ebt, "vec_b")
-        .mapInPandas(prune, "vec_a long, vec_b long")
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
+    if captured is not None:
+        ids_sorted, M, nrm = captured
+
+        def prune(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    yield pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                        "vec_b": pd.Series(dtype="int64")})
+                    continue
+                ia = np.searchsorted(ids_sorted, pdf["vec_a"].to_numpy())
+                ib = np.searchsorted(ids_sorted, pdf["vec_b"].to_numpy())
+                s = np.einsum("ij,ij->i", M[ia], M[ib]) / (nrm[ia] * nrm[ib])
+                keep = s >= threshold - prune_margin
+                yield pd.DataFrame({"vec_a": pdf["vec_a"].to_numpy()[keep],
+                                    "vec_b": pdf["vec_b"].to_numpy()[keep]})
+
+        survivors = (
+            cand.mapInPandas(prune, "vec_a long, vec_b long")
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+    else:
+        eat = maybe_broadcast(
+            emb.select(F.col("vec_id").alias("vec_a"),
+                       F.col("embedding").cast("array<float>").alias("e_a")),
+            row_hint=n_emb_hint)
+        ebt = maybe_broadcast(
+            emb.select(F.col("vec_id").alias("vec_b"),
+                       F.col("embedding").cast("array<float>").alias("e_b")),
+            row_hint=n_emb_hint)
+
+        def prune(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    yield pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                        "vec_b": pd.Series(dtype="int64")})
+                    continue
+                A = np.stack(pdf["e_a"].to_numpy())
+                B = np.stack(pdf["e_b"].to_numpy())
+                s = np.einsum("ij,ij->i", A, B) / (
+                    np.sqrt(np.einsum("ij,ij->i", A, A))
+                    * np.sqrt(np.einsum("ij,ij->i", B, B)))
+                keep = s >= threshold - prune_margin
+                yield pd.DataFrame({"vec_a": pdf["vec_a"].to_numpy()[keep],
+                                    "vec_b": pdf["vec_b"].to_numpy()[keep]})
+
+        survivors = (
+            cand.join(eat, "vec_a")
+            .join(ebt, "vec_b")
+            .mapInPandas(prune, "vec_a long, vec_b long")
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
     # exact verify on the survivor set only: norms folded once per side,
     # the same sequential float64 fold order as the DuckDB oracle
     withnorm = emb.select("vec_id", "embedding",
