@@ -73,10 +73,10 @@ def main() -> None:
         },
         "interpretation": (
             "r9 removed a duplicated (embarrassingly parallel) assembly "
-            "pass from the measured job; both legs got faster in absolute "
-            "terms and set throughput records, but the 1v4 ratio drops to "
-            "~0.68-0.73 because the fixed serial floor (orchestration + "
-            "single write commit, ~15-20 s) now sits on a 62-72 s 4-core "
+            "pass from the measured job; the 1-core leg got 15-20% faster "
+            "while the 4-core leg held its band, so the 1v4 ratio drops "
+            "to ~0.68-0.73 (the fixed serial floor — orchestration + "
+            "single write commit, ~15-20 s — also weighs more on a 62-72 s "
             "leg. Absolute numbers, calm pairs at 2M docs: 4-core legs "
             "62.0-71.8 s / 305-353k t/s — inside r6's calm band "
             "(62.6-68 s / 322-350k) — while 1-core legs improved to "
