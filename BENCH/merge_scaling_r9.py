@@ -9,11 +9,12 @@ a duplicated assembly pass from the fused pipeline (the range sampler
 and the write each ran the whole assembly subtree before; one lazy
 checkpoint now shares it). That redundant pass was embarrassingly
 parallel, so it inflated the parallel fraction r6's 0.83 was measured
-on. With the waste gone BOTH legs set records at 2M docs — 1-core
-112.8–118.5k t/s (r6 calm ~88–101k), 4-core 305–353k t/s (r6 calm
-~296–316k) — while the 1v4 ratio mechanically drops to ~0.68–0.73
-(Amdahl: the fixed ~15–20 s serial floor of job orchestration + the
-single write commit now sits on a 62–72 s leg instead of a ~230 s one).
+on. With the waste gone the 1-core leg set records at 2M docs —
+112.8–118.5k t/s (r6 calm 96–105k) — while the 4-core leg held r6's
+calm band (305–353k vs 322–350k t/s), so the 1v4 ratio mechanically
+drops to ~0.68–0.73 (the fixed ~15–20 s serial floor of job
+orchestration + the single write commit also weighs more on a 62–72 s
+leg than on a ~230 s one).
 The driver union-find is NOT the serial term: the alias edge set is
 vocabulary-bounded (1,000 edges at 2M docs, measured), so the crossover
 costs ~0.1 s at any corpus size and the distributed-CC path engages
