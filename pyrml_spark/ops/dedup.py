@@ -42,8 +42,15 @@ def _word_shingles(col, n: int = SHINGLE_N):
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: per distinct text, the surviving doc_id (min) and the
-    group size. Map-side-combinable aggregation — one shuffle on text hash."""
-    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
+    group size. Map-side-combinable aggregation — one shuffle on text hash.
+
+    Plain read, NOT the scan-parallelism floor: the only pre-shuffle work
+    is one md5 per row and the groupBy partial-aggregates on the scan
+    partitions anyway — the floor's round-robin rebalance would shuffle
+    the full document text once more for no parallel win (measured
+    ~+0.5 s at 50k docs; the ops that keep the floor do heavy narrow
+    work — shingle explodes, regex batteries — before any exchange)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
         .agg(

@@ -189,7 +189,10 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str,
             .alias("blk"),
         )
 
-    n = read_parquet_parallel(spark, f"{sf_dir}/embeddings.parquet").count()
+    # plain read for the row count: parquet answers count(*) from footer
+    # metadata — routing it through the parallelism floor's round-robin
+    # exchange would shuffle every row to count them
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     n_blocks = max(1, -(-n // block_rows))
     pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
     left = (
