@@ -74,8 +74,13 @@ def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain reach phase 2, whose exact global window is then trivial. Same
     two-phase shape as the ANN top-k (`similarity._two_phase_topk`);
     both shuffles are bounded, neither depends on domain cardinality.
+
+    Plain read, NOT the scan-parallelism floor: the pre-window work is one
+    md5 per row and phase 1 shuffles by (source, sub) immediately — the
+    floor's rebalance added a whole extra exchange for no parallel win
+    (measured ~2x on this op at 50k docs).
     """
-    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ranked = docs.select(
         "doc_id", "source",
         F.md5(F.col("doc_id").cast("string")).alias("rank_key"),

@@ -112,8 +112,14 @@ def corpus_mixture(spark: SparkSession, sf_dir: str,
     not #docs), so the single-task window stage is as cheap as the 16-row
     prefix table. The cross-group sum of per-group sqrt terms goes through
     DECIMAL(38,6) to stay order-independent — the same trick the
-    sessionizer uses for its float sums."""
-    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
+    sessionizer uses for its float sums.
+
+    Plain read, NOT the scan-parallelism floor: the groupBy partial-
+    aggregates on the scan partitions, so the floor's rebalance shuffled
+    the full text column once more just to split it in parallel —
+    measured ~1.5x slower than letting the one-partition map side do the
+    splits (50k docs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_tokens = F.size(F.split(F.col("text"), r"\s+"))
     grouped = (
         docs.select("lang", "source", n_tokens.alias("t"))

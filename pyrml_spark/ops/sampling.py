@@ -42,8 +42,11 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     Narrow map end to end: the bucket is computed from doc_id alone, the
     rate is a CASE over the stratum column — no shuffle, no broadcast, no
     RNG. At 100 TB this runs at scan speed and prunes rows before anything
-    downstream sees them."""
-    docs = read_parquet_parallel(spark, f"{sf_dir}/documents.parquet")
+    downstream sees them.
+
+    Plain read, NOT the scan-parallelism floor: the per-row work (one hash
+    + compare) is cheaper than the floor's rebalance exchange."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bucket = _hash_bucket(F.col("doc_id"))
     rate = F.lit(DEFAULT_RATE)
     for lang, pct in sorted(SAMPLE_RATES.items()):
